@@ -1,0 +1,29 @@
+"""plonky2_merkle_trees_tpu — a TPU-native Merkle-tree / Merkle-Mountain-Range
+proving framework over the Goldilocks field.
+
+Brand-new JAX/XLA/Pallas design with the capability surface of the reference
+hashcloak/plonky2-merkle-trees library (plus the slice of plonky2 0.1.3 it
+depends on, re-implemented natively): Poseidon hashing, Merkle trees, MMRs
+(naive + optimized), and a Plonky2-style SNARK engine (circuit builder, NTT/
+LDE, FRI prover/verifier) whose hot paths run as XLA programs and Pallas
+kernels.
+
+JAX x64 mode is required (Goldilocks elements are u64); it is enabled here,
+so import this package before creating any JAX arrays.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from . import field, poseidon  # noqa: E402
+from .tree import MerkleTree, verify_merkle_proof  # noqa: E402
+from .mmr import MMR, MMRProof, get_heights_bitmap_for_mmr_size, get_mmr_index  # noqa: E402
+from .naive_mmr import NaiveMMR, MMRBagged  # noqa: E402
+
+__all__ = [
+    "field", "poseidon", "MerkleTree", "verify_merkle_proof",
+    "MMR", "MMRProof", "get_heights_bitmap_for_mmr_size", "get_mmr_index",
+    "NaiveMMR", "MMRBagged",
+]
+__version__ = "0.1.0"

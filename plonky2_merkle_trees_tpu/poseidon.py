@@ -1,0 +1,214 @@
+"""Poseidon hash over Goldilocks — batched, TPU-first.
+
+Implements the exact permutation plonky2 0.1.3's ``PoseidonHash`` uses
+(width 12, rate 8, capacity 4, 4 full + 22 partial + 4 full rounds, x^7
+S-box, circulant-plus-diagonal MDS) and the sponge modes the reference
+consumes:
+
+* ``hash_or_noop``   — inputs of <= 4 field elements are returned zero-padded
+  and UNHASHED (reference simple_merkle_tree.rs:33,93: level-0 "hashes" are
+  ``[leaf, 0, 0, 0]``; a 1-peak MMR's bagged root equals the peak,
+  naive_merkle_mountain_ranges.rs:369-371).
+* ``two_to_one``     — 8-element -> 4-element compression
+  (simple_merkle_tree.rs:23,45; merkle_mountain_ranges.rs:111).
+* ``hash_n_to_m_no_pad`` — the general overwrite-mode sponge
+  (bagging peaks, merkle_mountain_ranges.rs:125).
+
+Everything is written over the generic uint64 array ops in ``field.py`` so
+the same code path runs vectorised under numpy (host) and jax.numpy (TPU).
+A fused Pallas kernel for the permutation lives in ops/poseidon_pallas.py.
+"""
+
+import numpy as np
+
+from . import field
+from .poseidon_constants import (
+    WIDTH, RATE, HALF_FULL_ROUNDS, PARTIAL_ROUNDS,
+    MDS_MATRIX_CIRC, MDS_MATRIX_DIAG, all_round_constants,
+)
+
+_RC = all_round_constants()  # 360 python ints
+
+
+def _round_constant_row(r, xp):
+    return xp.asarray(np.array(_RC[12 * r:12 * r + 12], dtype=np.uint64))
+
+
+def _mds_layer(state, xp):
+    """MDS multiply exploiting tiny entries: per output lane a sum of
+    small-constant products, accumulated exactly in u64 hi/lo halves and
+    reduced once.  ~24 u64 const-muls instead of 144 full field muls."""
+    m32 = xp.uint64(field.MASK32)
+    s_lo = state & m32          # (..., 12)
+    s_hi = state >> 32          # (..., 12)
+    outs = []
+    for r in range(WIDTH):
+        row = [MDS_MATRIX_CIRC[(c - r) % WIDTH] for c in range(WIDTH)]
+        row[r] += MDS_MATRIX_DIAG[r]
+        row_arr = xp.asarray(np.array(row, dtype=np.uint64))
+        # acc_* <= 12 * 41 * (2^32-1) < 2^41 — no u64 overflow.
+        acc_lo = xp.sum(s_lo * row_arr, axis=-1)
+        acc_hi = xp.sum(s_hi * row_arr, axis=-1)
+        # value = acc_hi * 2^32 + acc_lo  (a ~73-bit quantity)
+        top = acc_hi >> 32
+        lo = ((acc_hi & m32) << 32) + acc_lo
+        top = top + (lo < acc_lo).astype(xp.uint64)
+        outs.append(field.reduce128(top, lo))
+    return xp.stack(outs, axis=-1)
+
+
+def permute(state):
+    """Poseidon permutation on a (..., 12) uint64 array (numpy or jnp)."""
+    xp = field._xp(state)
+    rnd = 0
+    for _ in range(HALF_FULL_ROUNDS):
+        state = field.add(state, _round_constant_row(rnd, xp))
+        state = field.exp7(state)
+        state = _mds_layer(state, xp)
+        rnd += 1
+    for _ in range(PARTIAL_ROUNDS):
+        state = field.add(state, _round_constant_row(rnd, xp))
+        lane0 = field.exp7(state[..., 0])
+        if xp is np:
+            state = state.copy()
+            state[..., 0] = lane0
+        else:
+            state = state.at[..., 0].set(lane0)
+        state = _mds_layer(state, xp)
+        rnd += 1
+    for _ in range(HALF_FULL_ROUNDS):
+        state = field.add(state, _round_constant_row(rnd, xp))
+        state = field.exp7(state)
+        state = _mds_layer(state, xp)
+        rnd += 1
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Batched sponge modes (arrays of digests; leading batch dims arbitrary)
+# ---------------------------------------------------------------------------
+
+def two_to_one(left, right):
+    """Compress two (..., 4) digest arrays into one (..., 4) digest array."""
+    xp = field._xp(left)
+    cap = xp.zeros(left.shape[:-1] + (4,), dtype=xp.uint64)
+    state = xp.concatenate([left, right, cap], axis=-1)
+    return permute(state)[..., :4]
+
+
+def hash_leaves(leaves):
+    """``hash_or_noop([leaf])`` for a (...,) array of single field elements:
+    the noop rule applies, digests are ``[leaf, 0, 0, 0]``."""
+    xp = field._xp(leaves)
+    zeros = xp.zeros(leaves.shape + (3,), dtype=xp.uint64)
+    return xp.concatenate([leaves[..., None], zeros], axis=-1)
+
+
+def hash_n_to_m_no_pad(inputs, num_outputs=4):
+    """Overwrite-mode sponge over a flat (n,) uint64 array -> (num_outputs,).
+
+    Matches plonky2's ``hash_n_to_m_no_pad``: absorb in rate-8 chunks by
+    overwriting the leading state lanes, permuting after every (possibly
+    partial) chunk; squeeze from the leading lanes.
+    """
+    xp = field._xp(inputs)
+    n = int(inputs.shape[0])
+    state = xp.zeros((WIDTH,), dtype=xp.uint64)
+    for start in range(0, n, RATE):
+        chunk = inputs[start:start + RATE]
+        k = int(chunk.shape[0])
+        if xp is np:
+            state = state.copy()
+            state[:k] = chunk
+        else:
+            state = state.at[:k].set(chunk)
+        state = permute(state)
+    outputs = []
+    while True:
+        avail = state[:RATE]
+        outputs.append(avail)
+        total = sum(int(o.shape[0]) for o in outputs)
+        if total >= num_outputs:
+            return xp.concatenate(outputs, axis=0)[:num_outputs]
+        state = permute(state)
+
+
+def hash_no_pad(inputs):
+    return hash_n_to_m_no_pad(inputs, 4)
+
+
+def hash_or_noop(inputs):
+    """plonky2 ``PoseidonHash::hash_or_noop`` on a flat (n,) uint64 array."""
+    xp = field._xp(inputs)
+    n = int(inputs.shape[0])
+    if n <= 4:
+        out = xp.zeros((4,), dtype=xp.uint64)
+        if xp is np:
+            out = out.copy()
+            out[:n] = inputs
+            return out
+        return out.at[:n].set(inputs)
+    return hash_no_pad(inputs)
+
+
+# ---------------------------------------------------------------------------
+# Host scalar path (python ints) — for sequential flows (MMR appends, tests)
+# ---------------------------------------------------------------------------
+
+_P = field.P
+_MDS_ROWS = [
+    tuple(MDS_MATRIX_CIRC[(c - r) % WIDTH] + (MDS_MATRIX_DIAG[r] if c == r else 0)
+          for c in range(WIDTH))
+    for r in range(WIDTH)
+]
+
+
+def _h_sbox(x):
+    x2 = x * x % _P
+    x3 = x2 * x % _P
+    return x3 * x3 % _P * x % _P
+
+
+def permute_host(state):
+    """Scalar Poseidon permutation on a list of 12 python ints."""
+    s = list(state)
+    rnd = 0
+    for phase, count in ((0, HALF_FULL_ROUNDS), (1, PARTIAL_ROUNDS), (0, HALF_FULL_ROUNDS)):
+        for _ in range(count):
+            base = 12 * rnd
+            s = [(x + _RC[base + i]) % _P for i, x in enumerate(s)]
+            if phase == 0:
+                s = [_h_sbox(x) for x in s]
+            else:
+                s[0] = _h_sbox(s[0])
+            s = [sum(m * x for m, x in zip(row, s)) % _P for row in _MDS_ROWS]
+            rnd += 1
+    return s
+
+
+def _digest(values) -> np.ndarray:
+    return np.array(values[:4], dtype=np.uint64)
+
+
+def two_to_one_scalar(left, right) -> np.ndarray:
+    """Host-scalar two_to_one on (4,)-digests (python-int fast path)."""
+    state = [int(x) for x in left] + [int(x) for x in right] + [0, 0, 0, 0]
+    return _digest(permute_host(state))
+
+
+def hash_no_pad_scalar(inputs) -> np.ndarray:
+    """Host-scalar overwrite-mode sponge over a list of ints -> (4,) digest."""
+    vals = [int(x) for x in inputs]
+    state = [0] * WIDTH
+    for start in range(0, len(vals), RATE):
+        chunk = vals[start:start + RATE]
+        state[:len(chunk)] = chunk
+        state = permute_host(state)
+    return _digest(state)
+
+
+def hash_or_noop_scalar(inputs) -> np.ndarray:
+    vals = [int(x) for x in inputs]
+    if len(vals) <= 4:
+        return _digest(vals + [0] * (4 - len(vals)))
+    return hash_no_pad_scalar(vals)
