@@ -58,12 +58,14 @@ def test_single_leaf_root_is_leaf_hash():
 
 
 def test_verify_panics_on_wrong_peaks():
+    # Leaf ordinal 9 of an 11-leaf MMR (8+2+1) lives in the SECOND subtree;
+    # replacing all peaks with peaks[0] erases its subtree root => assert.
     mmr, leaves = _build(11, seed=3)
     root = mmr.bagging_the_peaks()
-    proof = mmr.get_proof_normal_index(2)
+    proof = mmr.get_proof_normal_index(9)
     proof.peaks = [proof.peaks[0]] * len(proof.peaks)
     with pytest.raises(AssertionError):
-        proof.verify(int(leaves[2]), root)
+        proof.verify(int(leaves[9]), root)
 
 
 def test_verify_false_on_wrong_root():
