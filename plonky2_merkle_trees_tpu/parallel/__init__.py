@@ -1,0 +1,2 @@
+from .mesh import make_mesh, default_mesh  # noqa: F401
+from .forest import forest_root, forest_peaks, sharded_forest_step  # noqa: F401

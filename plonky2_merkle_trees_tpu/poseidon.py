@@ -23,65 +23,89 @@ import numpy as np
 
 from . import field
 from .poseidon_constants import (
-    WIDTH, RATE, HALF_FULL_ROUNDS, PARTIAL_ROUNDS,
+    WIDTH, RATE, N_ROUNDS, HALF_FULL_ROUNDS, PARTIAL_ROUNDS,
     MDS_MATRIX_CIRC, MDS_MATRIX_DIAG, all_round_constants,
 )
 
 _RC = all_round_constants()  # 360 python ints
-
-
-def _round_constant_row(r, xp):
-    return xp.asarray(np.array(_RC[12 * r:12 * r + 12], dtype=np.uint64))
+_RC_TABLE = np.array(_RC, dtype=np.uint64).reshape(N_ROUNDS, WIDTH)
+_CIRC = np.array(MDS_MATRIX_CIRC, dtype=np.uint64)
+_DIAG = np.array(MDS_MATRIX_DIAG, dtype=np.uint64)
 
 
 def _mds_layer(state, xp):
-    """MDS multiply exploiting tiny entries: per output lane a sum of
-    small-constant products, accumulated exactly in u64 hi/lo halves and
-    reduced once.  ~24 u64 const-muls instead of 144 full field muls."""
+    """MDS multiply exploiting the circulant structure and tiny entries:
+    ``out[r] = sum_k CIRC[k] * state[(r+k) % 12] + DIAG[r] * state[r]``
+    becomes 12 rolls with small-constant multiplies, accumulated exactly in
+    u64 hi/lo halves and reduced once — no full 64-bit field products."""
     m32 = xp.uint64(field.MASK32)
     s_lo = state & m32          # (..., 12)
     s_hi = state >> 32          # (..., 12)
-    outs = []
-    for r in range(WIDTH):
-        row = [MDS_MATRIX_CIRC[(c - r) % WIDTH] for c in range(WIDTH)]
-        row[r] += MDS_MATRIX_DIAG[r]
-        row_arr = xp.asarray(np.array(row, dtype=np.uint64))
-        # acc_* <= 12 * 41 * (2^32-1) < 2^41 — no u64 overflow.
-        acc_lo = xp.sum(s_lo * row_arr, axis=-1)
-        acc_hi = xp.sum(s_hi * row_arr, axis=-1)
-        # value = acc_hi * 2^32 + acc_lo  (a ~73-bit quantity)
-        top = acc_hi >> 32
-        lo = ((acc_hi & m32) << 32) + acc_lo
-        top = top + (lo < acc_lo).astype(xp.uint64)
-        outs.append(field.reduce128(top, lo))
-    return xp.stack(outs, axis=-1)
+    diag = xp.asarray(_DIAG)
+    # acc_* <= (sum CIRC + 8) * (2^32-1) = 264 * (2^32-1) < 2^41 — safe in u64.
+    acc_lo = diag * s_lo
+    acc_hi = diag * s_hi
+    for k in range(WIDTH):
+        c = xp.uint64(int(_CIRC[k]))
+        rolled_lo = xp.roll(s_lo, -k, axis=-1)
+        rolled_hi = xp.roll(s_hi, -k, axis=-1)
+        acc_lo = acc_lo + c * rolled_lo
+        acc_hi = acc_hi + c * rolled_hi
+    # value = acc_hi * 2^32 + acc_lo  (a ~73-bit quantity)
+    top = acc_hi >> 32
+    lo = ((acc_hi & m32) << 32) + acc_lo
+    top = top + (lo < acc_lo).astype(xp.uint64)
+    return field.reduce128(top, lo)
+
+
+def _full_round(state, rc_row, xp):
+    state = field.add(state, rc_row)
+    state = field.exp7(state)
+    return _mds_layer(state, xp)
+
+
+def _partial_round(state, rc_row, xp):
+    state = field.add(state, rc_row)
+    lane0 = field.exp7(state[..., 0])
+    if xp is np:
+        state = state.copy()
+        state[..., 0] = lane0
+    else:
+        state = state.at[..., 0].set(lane0)
+    return _mds_layer(state, xp)
+
+
+def _permute_np(state):
+    with np.errstate(over="ignore"):
+        for r in range(HALF_FULL_ROUNDS):
+            state = _full_round(state, _RC_TABLE[r], np)
+        for r in range(HALF_FULL_ROUNDS, HALF_FULL_ROUNDS + PARTIAL_ROUNDS):
+            state = _partial_round(state, _RC_TABLE[r], np)
+        for r in range(HALF_FULL_ROUNDS + PARTIAL_ROUNDS, N_ROUNDS):
+            state = _full_round(state, _RC_TABLE[r], np)
+    return state
+
+
+def _permute_jnp(state):
+    # lax.fori_loop keeps the traced graph ~30x smaller than unrolling the
+    # rounds — compile time matters when the permutation is instantiated per
+    # tree level inside larger XLA programs.
+    import jax
+    import jax.numpy as jnp
+    rc = jnp.asarray(_RC_TABLE)
+    f = HALF_FULL_ROUNDS
+    p = PARTIAL_ROUNDS
+    state = jax.lax.fori_loop(0, f, lambda i, s: _full_round(s, rc[i], jnp), state)
+    state = jax.lax.fori_loop(f, f + p, lambda i, s: _partial_round(s, rc[i], jnp), state)
+    state = jax.lax.fori_loop(f + p, N_ROUNDS, lambda i, s: _full_round(s, rc[i], jnp), state)
+    return state
 
 
 def permute(state):
     """Poseidon permutation on a (..., 12) uint64 array (numpy or jnp)."""
-    xp = field._xp(state)
-    rnd = 0
-    for _ in range(HALF_FULL_ROUNDS):
-        state = field.add(state, _round_constant_row(rnd, xp))
-        state = field.exp7(state)
-        state = _mds_layer(state, xp)
-        rnd += 1
-    for _ in range(PARTIAL_ROUNDS):
-        state = field.add(state, _round_constant_row(rnd, xp))
-        lane0 = field.exp7(state[..., 0])
-        if xp is np:
-            state = state.copy()
-            state[..., 0] = lane0
-        else:
-            state = state.at[..., 0].set(lane0)
-        state = _mds_layer(state, xp)
-        rnd += 1
-    for _ in range(HALF_FULL_ROUNDS):
-        state = field.add(state, _round_constant_row(rnd, xp))
-        state = field.exp7(state)
-        state = _mds_layer(state, xp)
-        rnd += 1
-    return state
+    if field._xp(state) is np:
+        return _permute_np(state)
+    return _permute_jnp(state)
 
 
 # ---------------------------------------------------------------------------

@@ -4,9 +4,14 @@ real multi-chip path separately via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize pins JAX_PLATFORMS=axon (the TPU tunnel);
+# tests must run on the virtual 8-device CPU mesh, so override via config.
+jax.config.update("jax_platforms", "cpu")
 
 import plonky2_merkle_trees_tpu  # noqa: E402,F401  (enables jax x64 before any array creation)
