@@ -19,7 +19,7 @@ BASELINE_CPU_HASHES_PER_SEC = 600_000.0
 
 
 def main():
-    from plonky2_merkle_trees_tpu.ops.tree_kernels import hash_two_to_one
+    from plonky2_merkle_trees_tpu.ops.poseidon_pallas import two_to_one_pallas
 
     n = 1 << 20
     rng = np.random.default_rng(0)
@@ -27,7 +27,7 @@ def main():
     right = jnp.asarray(rng.integers(0, pmt.field.P, size=(n, 4), dtype=np.uint64))
 
     # Warm-up / compile.
-    np.asarray(hash_two_to_one(left, right)[0])
+    np.asarray(two_to_one_pallas(left, right)[0])
 
     # Chain iterations through a data dependency and force completion with a
     # device->host fetch: block_until_ready alone under-reports through the
@@ -36,7 +36,7 @@ def main():
     start = time.perf_counter()
     out = right
     for _ in range(iters):
-        out = hash_two_to_one(left, out)
+        out = two_to_one_pallas(left, out)
     _ = np.asarray(out[0])
     elapsed = time.perf_counter() - start
 
