@@ -154,6 +154,37 @@ def square(a):
     return mul(a, a)
 
 
+def exp_vec(a, e: int):
+    """Vectorised a^e for a fixed host-int exponent (square-and-multiply)."""
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = mul(base, base)
+    if result is None:
+        xp = _xp(a)
+        return xp.ones_like(a)
+    return result
+
+
+def inv_vec(a):
+    """Vectorised inversion via a^(p-2) — ~100 fully-parallel multiplies,
+    no sequential Montgomery chain (TPU-friendly)."""
+    e = P - 2
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = mul(base, base)
+    return result
+
+
 def exp7(a):
     """x^7 — the Poseidon S-box monomial."""
     x2 = mul(a, a)

@@ -11,3 +11,6 @@ by the native verifier in this package.
 
 from .config import CircuitConfig, FriConfig  # noqa: F401
 from .field_ext import ExtensionField  # noqa: F401
+from .builder import CircuitBuilder, HashOutTarget, BoolTarget  # noqa: F401
+from .witness import PartialWitness, WitnessConflict  # noqa: F401
+from .proof import ProofWithPublicInputs, proof_to_json, proof_from_json  # noqa: F401

@@ -1,0 +1,153 @@
+"""Preprocessed circuit data: build, prove, verify entry points.
+
+Mirrors the reference's plonky2 surface (SURVEY.md §2.2):
+``CircuitData::{build, prove, verify}``, with ``prover_only.public_inputs``
+exposing the registered public-input targets like the reference tests use
+(e.g. mmr_plonky2_verifier.rs:143).
+"""
+
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .. import field, poseidon
+from .config import CircuitConfig
+from .gates import GATE_REGISTRY, GATE_INDEX, NoopGate
+from .witness import WitnessStore
+
+P = field.P
+MIN_ROWS_BITS = 3
+
+
+@dataclass
+class CommonCircuitData:
+    config: CircuitConfig
+    degree_bits: int                       # log2(num rows)
+    selectors: np.ndarray                  # (num_selectors, N)
+    gate_constants: np.ndarray             # (2, N)
+    k_is: List[int]                        # routed-wire coset shifts
+    num_public_inputs: int
+
+    @property
+    def degree(self) -> int:
+        return 1 << self.degree_bits
+
+    @property
+    def lde_bits(self) -> int:
+        return self.degree_bits + self.config.fri_config.rate_bits
+
+    @property
+    def lde_size(self) -> int:
+        return 1 << self.lde_bits
+
+
+@dataclass
+class ProverOnlyCircuitData:
+    constants_sigmas_batch: object         # PolynomialBatch
+    sigmas: np.ndarray                     # (R, N) sigma tag tables
+    generators: List
+    public_inputs: List[int]               # targets (reference API parity)
+    uf: object                             # union-find over targets/cells
+    uf_find: object                        # its find function
+    rows: List[Tuple[object, Tuple[int, int]]]
+
+
+@dataclass
+class VerifierOnlyCircuitData:
+    constants_sigmas_cap: np.ndarray
+    circuit_digest: np.ndarray
+
+
+class CircuitData:
+    def __init__(self, common, prover_only, verifier_only):
+        self.common = common
+        self.prover_only = prover_only
+        self.verifier_only = verifier_only
+
+    def prove(self, partial_witness):
+        from .prover import prove
+        return prove(self, partial_witness)
+
+    def verify(self, proof_with_pis) -> None:
+        from .verifier import verify
+        if not verify(self, proof_with_pis):
+            raise AssertionError("proof verification failed")
+
+
+def _domain_tags(n: int, k_is: List[int]) -> np.ndarray:
+    """tags[c, r] = k_c * omega^r — the extended-domain labels for sigma."""
+    log_n = n.bit_length() - 1
+    w = field.primitive_root_of_unity(log_n)
+    omega_pows = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for r in range(n):
+        omega_pows[r] = acc
+        acc = acc * w % P
+    tags = np.empty((len(k_is), n), dtype=np.uint64)
+    for c, k in enumerate(k_is):
+        tags[c] = field.mul(omega_pows, np.uint64(k))
+    return tags
+
+
+def build_circuit_data(builder) -> CircuitData:
+    from .commitment import PolynomialBatch
+
+    config = builder.config
+    num_rows_used = len(builder.rows)
+    degree_bits = max(MIN_ROWS_BITS, (num_rows_used - 1).bit_length())
+    n = 1 << degree_bits
+    rows = list(builder.rows) + [(NoopGate(), (0, 0))] * (n - num_rows_used)
+
+    num_selectors = len(GATE_REGISTRY)
+    selectors = np.zeros((num_selectors, n), dtype=np.uint64)
+    gate_constants = np.zeros((2, n), dtype=np.uint64)
+    for r, (gate, consts) in enumerate(rows):
+        selectors[GATE_INDEX[gate.id], r] = 1
+        gate_constants[0, r] = consts[0]
+        gate_constants[1, r] = consts[1]
+
+    r_wires = config.num_routed_wires
+    k_is = [pow(field.MULTIPLICATIVE_GROUP_GENERATOR, i, P) for i in range(r_wires)]
+    tags = _domain_tags(n, k_is)
+
+    # sigma: collect copy classes over routed cells; unconstrained cells map
+    # to themselves, each class forms one cycle.
+    classes: Dict = {}
+    uf = builder.uf
+    for node in list(uf.parent.keys()):
+        if node[0] == "c":
+            _, row, col = node
+            if col < r_wires and row < n:
+                classes.setdefault(uf.find(node), []).append((row, col))
+
+    sigmas = tags.T.copy()                 # (N, R): default sigma = own tag
+    for members in classes.values():
+        if len(members) < 2:
+            continue
+        for i, (row, col) in enumerate(members):
+            nrow, ncol = members[(i + 1) % len(members)]
+            sigmas[row, col] = tags[ncol, nrow]
+    sigmas = np.ascontiguousarray(sigmas.T)  # (R, N)
+
+    # preprocessed oracle: selectors + constants + sigmas
+    pre_values = np.concatenate([selectors, gate_constants, sigmas], axis=0)
+    pre_batch = PolynomialBatch.from_values(
+        pre_values, config.fri_config.rate_bits, config.fri_config.cap_height)
+
+    cap = np.asarray(pre_batch.cap)
+    circuit_digest = poseidon.hash_no_pad_scalar(
+        [int(v) for v in cap.reshape(-1)] + [degree_bits])
+
+    common = CommonCircuitData(
+        config=config, degree_bits=degree_bits, selectors=selectors,
+        gate_constants=gate_constants, k_is=k_is,
+        num_public_inputs=len(builder.public_inputs))
+    prover_only = ProverOnlyCircuitData(
+        constants_sigmas_batch=pre_batch, sigmas=sigmas,
+        generators=list(builder.generators),
+        public_inputs=list(builder.public_inputs),
+        uf=uf, uf_find=uf.find, rows=rows)
+    verifier_only = VerifierOnlyCircuitData(
+        constants_sigmas_cap=cap, circuit_digest=circuit_digest)
+    return CircuitData(common, prover_only, verifier_only)

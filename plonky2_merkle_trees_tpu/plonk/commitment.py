@@ -1,0 +1,155 @@
+"""Polynomial batch commitments: coset LDE + Poseidon Merkle caps.
+
+A batch of row polynomials (one per column of the trace) is committed as a
+single Merkle tree whose leaf i is the vector of ALL polynomials' values at
+LDE point i — one tree per oracle, exactly plonky2's PolynomialBatch shape.
+Bulk hashing is the batched Poseidon sponge (one permutation launch per
+absorb chunk per level), i.e. the same kernels that power the Merkle-tree
+layer (SURVEY.md §2.2 "Poseidon Merkle-cap commitments").
+"""
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from .. import field, poseidon
+from ..poseidon_constants import RATE, WIDTH
+from .field_ext import ExtensionField
+from . import ntt as nttmod
+
+
+def hash_rows(matrix) -> np.ndarray:
+    """hash_or_noop over each row of an (n, m) uint64 matrix -> (n, 4)."""
+    xp = field._xp(matrix)
+    n, m = int(matrix.shape[0]), int(matrix.shape[1])
+    if m <= 4:
+        out = xp.zeros((n, 4), dtype=xp.uint64)
+        if xp is np:
+            out[:, :m] = matrix
+            return out
+        return out.at[:, :m].set(matrix)
+    state = xp.zeros((n, WIDTH), dtype=xp.uint64)
+    for start in range(0, m, RATE):
+        chunk = matrix[:, start:start + RATE]
+        k = int(chunk.shape[1])
+        if xp is np:
+            state = state.copy()
+            state[:, :k] = chunk
+        else:
+            state = state.at[:, :k].set(chunk)
+        state = poseidon.permute(state)
+    return state[:, :4]
+
+
+class MerkleCommitment:
+    """Merkle tree with a cap over vector leaves; supports query openings."""
+
+    def __init__(self, leaves: np.ndarray, cap_height: int):
+        leaves = np.asarray(leaves, dtype=np.uint64)
+        n = leaves.shape[0]
+        log_n = n.bit_length() - 1
+        assert (1 << log_n) == n, "leaf count must be a power of two"
+        cap_height = min(cap_height, log_n)
+        self.cap_height = cap_height
+        self.leaves = leaves
+        level = hash_rows(leaves)
+        self.levels = [level]   # digests, leaf level first
+        while level.shape[0] > (1 << cap_height):
+            pairs = level.reshape(-1, 2, 4)
+            level = poseidon.two_to_one(pairs[:, 0, :], pairs[:, 1, :])
+            self.levels.append(level)
+
+    @property
+    def cap(self) -> np.ndarray:
+        return self.levels[-1]
+
+    def open(self, index: int) -> List[np.ndarray]:
+        """Sibling digests from the leaf up to (excluding) the cap."""
+        path = []
+        idx = index
+        for level in self.levels[:-1]:
+            path.append(np.array(level[idx ^ 1]))
+            idx //= 2
+        return path
+
+    @staticmethod
+    def verify(leaf_values, index: int, path: List[np.ndarray], cap) -> bool:
+        """Check a leaf opening against the cap."""
+        current = poseidon.hash_or_noop_scalar([int(v) for v in leaf_values]) \
+            if len(leaf_values) <= 4 else \
+            poseidon.hash_no_pad_scalar([int(v) for v in leaf_values])
+        idx = index
+        for sibling in path:
+            if idx % 2 == 0:
+                current = poseidon.two_to_one_scalar(current, sibling)
+            else:
+                current = poseidon.two_to_one_scalar(sibling, current)
+            idx //= 2
+        return bool(np.array_equal(current, np.asarray(cap)[idx]))
+
+
+@dataclass
+class PolynomialBatch:
+    """Committed oracle: row values, coefficients, LDE values, Merkle tree."""
+
+    values: np.ndarray       # (num_polys, N) — evaluations over the subgroup
+    coeffs: np.ndarray       # (num_polys, N)
+    lde_values: np.ndarray   # (num_polys, N << rate_bits), coset g*H
+    tree: MerkleCommitment
+    rate_bits: int
+
+    @staticmethod
+    def from_values(values, rate_bits: int, cap_height: int) -> "PolynomialBatch":
+        values = np.asarray(values, dtype=np.uint64)
+        coeffs = nttmod.intt(values)
+        return PolynomialBatch.from_coeffs(coeffs, rate_bits, cap_height,
+                                           values=values)
+
+    @staticmethod
+    def from_coeffs(coeffs, rate_bits: int, cap_height: int,
+                    values=None) -> "PolynomialBatch":
+        coeffs = np.asarray(coeffs, dtype=np.uint64)
+        lde = np.asarray(nttmod.coset_lde(coeffs, rate_bits), dtype=np.uint64)
+        tree = MerkleCommitment(np.ascontiguousarray(lde.T), cap_height)
+        return PolynomialBatch(values=values, coeffs=coeffs, lde_values=lde,
+                               tree=tree, rate_bits=rate_bits)
+
+    @property
+    def cap(self) -> np.ndarray:
+        return self.tree.cap
+
+    def open_lde_row(self, index: int):
+        """(leaf values at LDE index, merkle path)."""
+        return self.lde_values[:, index].copy(), self.tree.open(index)
+
+    def eval_at_ext(self, zeta: ExtensionField) -> List[ExtensionField]:
+        """Evaluate every polynomial at an extension point (batched)."""
+        return eval_coeffs_at_ext(self.coeffs, zeta)
+
+
+def eval_coeffs_at_ext(coeffs: np.ndarray, zeta: ExtensionField) -> List[ExtensionField]:
+    """Batched evaluation of (num_polys, N) base coefficients at an ext point.
+
+    Uses a host-computed powers-of-zeta table and log-depth field-summed dot
+    products (sum of products must stay reduced, so fold pairwise)."""
+    coeffs = np.asarray(coeffs, dtype=np.uint64)
+    num_polys, n = coeffs.shape
+    pow0 = np.empty(n, dtype=np.uint64)
+    pow1 = np.empty(n, dtype=np.uint64)
+    acc = ExtensionField(1)
+    for i in range(n):
+        pow0[i] = acc.a0
+        pow1[i] = acc.a1
+        acc = acc * zeta
+    res = []
+    for pw in (pow0, pow1):
+        prods = field.mul(coeffs, pw[None, :])
+        while prods.shape[1] > 1:
+            half = prods.shape[1] // 2
+            prods = field.add(prods[:, :half], prods[:, half:2 * half]) \
+                if prods.shape[1] % 2 == 0 else \
+                np.concatenate([field.add(prods[:, :half], prods[:, half:2 * half]),
+                                prods[:, 2 * half:]], axis=1)
+        res.append(prods[:, 0])
+    return [ExtensionField(int(a), int(b)) for a, b in zip(res[0], res[1])]

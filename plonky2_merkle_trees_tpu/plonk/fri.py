@@ -1,0 +1,317 @@
+"""FRI low-degree proof: commit-phase folding, PoW grinding, query rounds.
+
+The combined polynomial's LDE-coset evaluations (extension field, (M, 2)
+arrays) are folded arity-by-arity; each committed layer's Merkle leaves are
+whole folding cosets, so one query opening authenticates everything a fold
+check needs.  Binary folds iterate with beta, beta^2, beta^4, ... which
+equals the arity-wide coefficient fold sum_k beta^k F_k(y).
+
+Query rounds open the ORIGINAL oracles at the sampled index (the verifier
+recombines them into F(x) itself), then walk the layers — the same shape as
+plonky2's FriProof (SURVEY.md §2.2 "FRI folding rounds").
+"""
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+from .. import field, poseidon
+from .challenger import Challenger
+from .commitment import MerkleCommitment
+from .field_ext import ExtensionField
+from . import ntt as nttmod
+
+P = field.P
+
+
+# -- domain tables ------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def coset_points(log_m: int, shift: int) -> np.ndarray:
+    """Points shift * omega^i of the size-2^log_m coset (natural order)."""
+    m = 1 << log_m
+    w = field.primitive_root_of_unity(log_m)
+    pts = np.empty(m, dtype=np.uint64)
+    acc = shift % P
+    for i in range(m):
+        pts[i] = acc
+        acc = acc * w % P
+    return pts
+
+
+@lru_cache(maxsize=None)
+def _inv_2x(log_m: int, shift: int) -> np.ndarray:
+    """1 / (2 * x_i) for the first half of the coset (fold denominators)."""
+    pts = coset_points(log_m, shift)[: (1 << log_m) // 2]
+    with np.errstate(over="ignore"):
+        return field.inv_vec(field.mul_small(pts, 2))
+
+
+def _ext_broadcast_mul(values: np.ndarray, base: np.ndarray) -> np.ndarray:
+    """(M, 2) ext array times (M,) base array."""
+    return np.stack([field.mul(values[:, 0], base),
+                     field.mul(values[:, 1], base)], axis=-1)
+
+
+def _ext_scalar_mul(values: np.ndarray, s: ExtensionField) -> np.ndarray:
+    from .field_ext import ext_mul
+    sv = np.broadcast_to(np.array([s.a0, s.a1], dtype=np.uint64), values.shape)
+    return ext_mul(values, sv)
+
+
+def fold_binary(values: np.ndarray, beta: ExtensionField, log_m: int,
+                shift: int) -> np.ndarray:
+    """F'(x^2) = (F(x) + F(-x))/2 + beta * (F(x) - F(-x)) / (2x)."""
+    m = values.shape[0]
+    half = m // 2
+    a, b = values[:half], values[half:]
+    s = field.add(a, b)
+    d = field.sub(a, b)
+    half_inv = field.h_inverse(2)
+    term1 = _ext_broadcast_mul(s, np.full(half, np.uint64(half_inv)))
+    term2 = _ext_scalar_mul(_ext_broadcast_mul(d, _inv_2x(log_m, shift)), beta)
+    return field.add(term1, term2)
+
+
+def _group_coset_leaves(values: np.ndarray, arity_bits: int) -> np.ndarray:
+    """(M, 2) values -> (M/2^a, 2^a * 2) leaves; leaf j holds the values at
+    indices {j + t*M/2^a}."""
+    m = values.shape[0]
+    a = 1 << arity_bits
+    return np.ascontiguousarray(
+        values.reshape(a, m // a, 2).transpose(1, 0, 2).reshape(m // a, a * 2))
+
+
+# -- proof structures -----------------------------------------------------------
+
+@dataclass
+class FriInitialOpening:
+    """Per-oracle leaf opening at the queried LDE index."""
+    leaf_values: List[np.ndarray]          # one (num_polys,) vector per oracle
+    paths: List[List[np.ndarray]]
+
+
+@dataclass
+class FriQueryStep:
+    coset_values: np.ndarray               # (2^a, 2) ext values
+    path: List[np.ndarray]
+
+
+@dataclass
+class FriQueryRound:
+    index: int
+    initial: FriInitialOpening
+    steps: List[FriQueryStep]
+
+
+@dataclass
+class FriProof:
+    commit_caps: List[np.ndarray]
+    final_poly: List[ExtensionField]
+    pow_witness: int
+    query_rounds: List[FriQueryRound]
+
+
+# -- proof-of-work grinding ------------------------------------------------------
+
+def _pow_challenge_states(challenger: Challenger, nonces: np.ndarray) -> np.ndarray:
+    """Batched duplex: what get_challenge would return after observing each
+    nonce on a copy of ``challenger``."""
+    base_inputs = list(challenger.input_buffer)
+    state = np.tile(np.array(challenger.sponge_state, dtype=np.uint64),
+                    (len(nonces), 1))
+    for i, v in enumerate(base_inputs):
+        state[:, i] = v
+    state[:, len(base_inputs)] = nonces
+    out = poseidon.permute(state)
+    return out[:, 7]  # output_buffer.pop() returns state[rate-1]
+
+
+def find_pow_witness(challenger: Challenger, pow_bits: int) -> int:
+    """Find a nonce whose resulting challenge has >= pow_bits leading zeros."""
+    batch = 1 << 16
+    threshold = np.uint64(1 << (64 - pow_bits))
+    start = 0
+    while True:
+        nonces = np.arange(start, start + batch, dtype=np.uint64)
+        ch = _pow_challenge_states(challenger, nonces)
+        hits = np.nonzero(ch < threshold)[0]
+        if hits.size:
+            return int(nonces[hits[0]])
+        start += batch
+
+
+def check_pow(challenger: Challenger, nonce: int, pow_bits: int) -> bool:
+    challenger.observe_element(nonce)
+    c = challenger.get_challenge()
+    return c < (1 << (64 - pow_bits))
+
+
+# -- prover -------------------------------------------------------------------------
+
+def fri_prove(lde_ext_values: np.ndarray, oracles, challenger: Challenger,
+              fri_config, degree_bits: int, shift: int = field.MULTIPLICATIVE_GROUP_GENERATOR
+              ) -> FriProof:
+    """``lde_ext_values``: (M, 2) evaluations of the combined polynomial over
+    the rate-extended coset; ``oracles``: committed PolynomialBatches opened
+    at query indices."""
+    m = lde_ext_values.shape[0]
+    log_m = m.bit_length() - 1
+    arities = fri_config.reduction_arity_bits(degree_bits)
+
+    current = lde_ext_values
+    cur_log = log_m
+    cur_shift = shift
+    trees: List[MerkleCommitment] = []
+    layer_arities: List[int] = []
+    caps: List[np.ndarray] = []
+    layer_values: List[np.ndarray] = []
+
+    for a_bits in arities:
+        leaves = _group_coset_leaves(current, a_bits)
+        tree = MerkleCommitment(leaves, min(fri_config.cap_height,
+                                            int(np.log2(leaves.shape[0]))))
+        trees.append(tree)
+        layer_arities.append(a_bits)
+        layer_values.append(current)
+        caps.append(np.asarray(tree.cap))
+        challenger.observe_cap(tree.cap)
+        beta = challenger.get_extension_challenge()
+        for t in range(a_bits):
+            current = fold_binary(current, beta ** (1 << t), cur_log, cur_shift)
+            cur_shift = cur_shift * cur_shift % P
+            cur_log -= 1
+
+    # final polynomial (degree < 2^final_bits by construction)
+    c0 = nttmod.coset_intt(current[:, 0], shift=cur_shift)
+    c1 = nttmod.coset_intt(current[:, 1], shift=cur_shift)
+    final_len = min(len(c0), 1 << fri_config.final_poly_max_degree_bits)
+    assert all(int(v) == 0 for v in c0[final_len:]), "final poly degree too high"
+    assert all(int(v) == 0 for v in c1[final_len:]), "final poly degree too high"
+    final_poly = [ExtensionField(int(a), int(b))
+                  for a, b in zip(c0[:final_len], c1[:final_len])]
+    for coeff in final_poly:
+        challenger.observe_extension(coeff)
+
+    # grinding
+    pow_witness = find_pow_witness(challenger, fri_config.proof_of_work_bits)
+    assert check_pow(challenger, pow_witness, fri_config.proof_of_work_bits)
+
+    # queries
+    query_rounds = []
+    for _ in range(fri_config.num_query_rounds):
+        index = challenger.get_challenge() % m
+        rows = [oracle.open_lde_row(index) for oracle in oracles]
+        initial = FriInitialOpening(leaf_values=[r[0] for r in rows],
+                                    paths=[r[1] for r in rows])
+        steps = []
+        idx = index
+        for tree, a_bits, values in zip(trees, layer_arities, layer_values):
+            m_layer = values.shape[0]
+            m_next = m_layer >> a_bits
+            row = idx % m_next
+            coset = values[row::m_next]      # (2^a, 2): t-th entry at row + t*m_next
+            steps.append(FriQueryStep(coset_values=np.ascontiguousarray(coset),
+                                      path=tree.open(row)))
+            idx = row
+        query_rounds.append(FriQueryRound(index=index, initial=initial, steps=steps))
+
+    return FriProof(commit_caps=caps, final_poly=final_poly,
+                    pow_witness=pow_witness, query_rounds=query_rounds)
+
+
+# -- verifier --------------------------------------------------------------------------
+
+def fri_verify(proof: FriProof, compute_initial_eval, oracle_caps,
+               challenger: Challenger, fri_config, degree_bits: int,
+               lde_bits: int, shift: int = field.MULTIPLICATIVE_GROUP_GENERATOR) -> bool:
+    """``compute_initial_eval(index, initial_opening) -> ExtensionField``
+    recombines the oracle openings into F(x_index) (protocol-specific);
+    ``oracle_caps``: caps to check initial openings against."""
+    m = 1 << lde_bits
+    arities = fri_config.reduction_arity_bits(degree_bits)
+
+    betas = []
+    for cap in proof.commit_caps:
+        challenger.observe_cap(cap)
+        betas.append(challenger.get_extension_challenge())
+    if len(proof.commit_caps) != len(arities):
+        return False
+    for coeff in proof.final_poly:
+        challenger.observe_extension(coeff)
+    if len(proof.final_poly) > (1 << fri_config.final_poly_max_degree_bits):
+        return False
+    if not check_pow(challenger, proof.pow_witness, fri_config.proof_of_work_bits):
+        return False
+
+    if len(proof.query_rounds) != fri_config.num_query_rounds:
+        return False
+
+    for qr in proof.query_rounds:
+        index = challenger.get_challenge() % m
+        if index != qr.index:
+            return False
+        # initial oracle openings
+        for leaf, path, cap in zip(qr.initial.leaf_values, qr.initial.paths,
+                                   oracle_caps):
+            if not MerkleCommitment.verify(leaf, index, path, cap):
+                return False
+        value = compute_initial_eval(index, qr.initial)
+
+        idx = index
+        cur_log = lde_bits
+        cur_shift = shift
+        for step, a_bits, beta, tree_cap in zip(qr.steps, arities, betas,
+                                                proof.commit_caps):
+            m_layer = 1 << cur_log
+            m_next = m_layer >> a_bits
+            row = idx % m_next
+            pos = idx // m_next
+            coset = np.asarray(step.coset_values, dtype=np.uint64)
+            if coset.shape != (1 << a_bits, 2):
+                return False
+            # the queried value must sit inside the opened coset
+            if (int(coset[pos, 0]), int(coset[pos, 1])) != (value.a0, value.a1):
+                return False
+            if not MerkleCommitment.verify(coset.reshape(-1), row, step.path,
+                                           tree_cap):
+                return False
+            # fold the coset down to one value with beta, beta^2, beta^4, ...
+            # vals[t] sits at domain index row + t*m_next, i.e. at point
+            # x_t = shift * omega^(row + t*m_next); binary fold pairs
+            # (t, t + size/2) and squares the points.
+            w = field.primitive_root_of_unity(cur_log)
+            vals = [ExtensionField(int(a), int(b)) for a, b in coset]
+            xs = [cur_shift * pow(w, row + t * m_next, P) % P
+                  for t in range(1 << a_bits)]
+            half_inv = field.h_inverse(2)
+            cur_b = beta
+            size = 1 << a_bits
+            while size > 1:
+                nxt_vals, nxt_xs = [], []
+                for t in range(size // 2):
+                    a_v, b_v = vals[t], vals[t + size // 2]
+                    e = (a_v + b_v) * half_inv
+                    o = (a_v - b_v) * cur_b * field.h_inverse(2 * xs[t] % P)
+                    nxt_vals.append(e + o)
+                    nxt_xs.append(xs[t] * xs[t] % P)
+                vals, xs = nxt_vals, nxt_xs
+                size //= 2
+                cur_b = cur_b * cur_b
+            value = vals[0]
+            idx = row
+            for _ in range(a_bits):
+                cur_shift = cur_shift * cur_shift % P
+                cur_log -= 1
+
+        # final polynomial evaluation at the surviving point
+        w = field.primitive_root_of_unity(cur_log)
+        x = cur_shift * pow(w, idx, P) % P
+        acc = ExtensionField(0)
+        for coeff in reversed(proof.final_poly):
+            acc = acc * x + coeff
+        if acc != value:
+            return False
+    return True

@@ -1,0 +1,240 @@
+"""The prover: witness generation -> wire polynomials -> permutation
+argument -> quotient -> openings -> FRI (SURVEY.md §3.3's hot path,
+reimagined as batched array programs; every per-point computation is a
+vectorised pass over the whole LDE domain)."""
+
+from typing import List
+
+import numpy as np
+
+from .. import field, poseidon
+from .algebra import BatchAlgebra
+from .challenger import Challenger
+from .commitment import PolynomialBatch, eval_coeffs_at_ext
+from .field_ext import ExtensionField, ext_mul
+from .fri import coset_points, fri_prove
+from .proof import OpeningSet, Proof, ProofWithPublicInputs
+from .vanishing import CHUNK, eval_combined
+from .witness import WitnessStore
+from . import ntt as nttmod
+from .circuit_data import _domain_tags
+
+P = field.P
+
+
+def _run_generators(circuit_data, pw) -> WitnessStore:
+    w = WitnessStore(circuit_data.prover_only.uf_find)
+    for t, v in pw.values.items():
+        w.set_target(t, v)
+    pending = list(circuit_data.prover_only.generators)
+    while pending:
+        remaining = [g for g in pending if not g(w)]
+        if len(remaining) == len(pending):
+            raise RuntimeError(f"witness generation stuck: {len(remaining)} "
+                               "generators cannot make progress")
+        pending = remaining
+    return w
+
+
+def _wire_matrix(circuit_data, w: WitnessStore) -> np.ndarray:
+    po = circuit_data.prover_only
+    n = circuit_data.common.degree
+    num_wires = circuit_data.common.config.num_wires
+    wires = np.zeros((num_wires, n), dtype=np.uint64)
+    cells = {node for node in po.uf.parent if node[0] == "c"}
+    cells.update(node for node in w._values if node[0] == "c")
+    for node in cells:
+        _, row, col = node
+        if row < n and col < num_wires:
+            v = w.get_node(node)
+            if v is not None:
+                wires[col, row] = v
+    return wires
+
+
+def _ext_const_sub(base_rows: np.ndarray, y: ExtensionField) -> np.ndarray:
+    """(m,) base values minus an ext constant -> (m, 2) ext values."""
+    m = base_rows.shape[0]
+    out = np.empty((m, 2), dtype=np.uint64)
+    out[:, 0] = field.sub(base_rows, np.uint64(y.a0))
+    out[:, 1] = np.uint64((P - y.a1) % P)
+    return out
+
+
+def _ext_inv_vec(a: np.ndarray) -> np.ndarray:
+    """Vectorised inverse of (m, 2) ext values via conjugate / norm."""
+    from .field_ext import W
+    a0, a1 = a[:, 0], a[:, 1]
+    norm = field.sub(field.mul(a0, a0), field.mul_small(field.mul(a1, a1), W))
+    inv_n = field.inv_vec(norm)
+    return np.stack([field.mul(a0, inv_n),
+                     field.mul(field.neg(a1), inv_n)], axis=-1)
+
+
+def _combine_batch(lde_rows: np.ndarray, ys: List[ExtensionField],
+                   alpha: ExtensionField) -> np.ndarray:
+    """sum_j alpha^j (p_j(x) - y_j) over (num_polys, m) base LDE rows."""
+    m = lde_rows.shape[1]
+    acc = np.zeros((m, 2), dtype=np.uint64)
+    alpha_arr = np.broadcast_to(np.array([alpha.a0, alpha.a1], dtype=np.uint64),
+                                (m, 2))
+    for j in range(lde_rows.shape[0] - 1, -1, -1):
+        acc = ext_mul(acc, alpha_arr)
+        acc = field.add(acc, _ext_const_sub(lde_rows[j], ys[j]))
+    return acc
+
+
+def prove(circuit_data, pw) -> ProofWithPublicInputs:
+    common = circuit_data.common
+    po = circuit_data.prover_only
+    vo = circuit_data.verifier_only
+    config = common.config
+    fri_cfg = config.fri_config
+    n = common.degree
+    m = common.lde_size
+    nc = config.num_challenges
+    r_wires = config.num_routed_wires
+    num_chunks = r_wires // CHUNK
+
+    # 1-2. witness + wire matrix + public inputs
+    w = _run_generators(circuit_data, pw)
+    wires = _wire_matrix(circuit_data, w)
+    pi_values = []
+    for t in po.public_inputs:
+        v = w.get_target(t)
+        if v is None:
+            raise RuntimeError(f"public input target {t} was never set")
+        pi_values.append(v)
+    pi_hash = poseidon.hash_no_pad_scalar(pi_values) if pi_values \
+        else np.zeros(4, dtype=np.uint64)
+
+    # 3. commit wires
+    wires_batch = PolynomialBatch.from_values(wires, fri_cfg.rate_bits,
+                                              fri_cfg.cap_height)
+
+    ch = Challenger()
+    ch.observe_hash(vo.circuit_digest)
+    ch.observe_hash(pi_hash)
+    ch.observe_cap(wires_batch.cap)
+    betas = ch.get_n_challenges(nc)
+    gammas = ch.get_n_challenges(nc)
+
+    # 4. permutation argument: Z + partial products per challenge set
+    tags = _domain_tags(n, common.k_is)            # (R, N)
+    sigmas = po.sigmas                             # (R, N)
+    routed = wires[:r_wires]
+    zsp_rows = []
+    partial_rows = {c: [] for c in range(nc)}
+    for c in range(nc):
+        beta = np.uint64(betas[c])
+        gamma = np.uint64(gammas[c])
+        with np.errstate(over="ignore"):
+            f = field.add(routed, field.add(field.mul(tags, beta), gamma))
+            g = field.add(routed, field.add(field.mul(sigmas, beta), gamma))
+        ratios = []
+        for j in range(num_chunks):
+            fj = f[CHUNK * j]
+            gj = g[CHUNK * j]
+            for i in range(CHUNK * j + 1, CHUNK * (j + 1)):
+                fj = field.mul(fj, f[i])
+                gj = field.mul(gj, g[i])
+            ratios.append(field.mul(fj, field.inv_vec(gj)))
+        ratio_all = ratios[0]
+        for rr in ratios[1:]:
+            ratio_all = field.mul(ratio_all, rr)
+        z = np.empty(n, dtype=np.uint64)
+        acc = 1
+        for r in range(n):
+            z[r] = acc
+            acc = acc * int(ratio_all[r]) % P
+        assert acc == 1, "permutation product does not close"
+        zsp_rows.append(z)
+        prod = z
+        for j in range(num_chunks - 1):
+            prod = field.mul(prod, ratios[j])
+            partial_rows[c].append(prod)
+    for c in range(nc):
+        zsp_rows.extend(partial_rows[c])
+    zsp_values = np.stack(zsp_rows, axis=0)       # (nc + nc*(chunks-1), N)
+    zsp_batch = PolynomialBatch.from_values(zsp_values, fri_cfg.rate_bits,
+                                            fri_cfg.cap_height)
+    ch.observe_cap(zsp_batch.cap)
+    alphas = ch.get_n_challenges(nc)
+
+    # 5. quotient polynomials
+    xs = coset_points(common.lde_bits, field.MULTIPLICATIVE_GROUP_GENERATOR)
+    alg = BatchAlgebra(np, m)
+    pre_lde = po.constants_sigmas_batch.lde_values
+    num_sel = common.selectors.shape[0]
+    sel_rows = [pre_lde[i] for i in range(num_sel)]
+    const_rows = [pre_lde[num_sel + i] for i in range(2)]
+    sigma_rows = [pre_lde[num_sel + 2 + i] for i in range(r_wires)]
+    wire_rows = [wires_batch.lde_values[i] for i in range(config.num_wires)]
+    zs_rows = [zsp_batch.lde_values[c] for c in range(nc)]
+    rate = 1 << fri_cfg.rate_bits
+    zs_next_rows = [np.roll(zr, -rate) for zr in zs_rows]
+    partials_lde = {
+        c: [zsp_batch.lde_values[nc + c * (num_chunks - 1) + j]
+            for j in range(num_chunks - 1)]
+        for c in range(nc)
+    }
+    pi_hash_alg = [alg.constant(int(v)) for v in pi_hash]
+
+    with np.errstate(over="ignore"):
+        zh = field.sub(field.exp_vec(xs, n), np.uint64(1))
+        l0 = field.mul(zh, field.inv_vec(
+            field.mul_small(field.sub(xs, np.uint64(1)), n % P)))
+        combined = eval_combined(
+            alg, r_wires, common.k_is, xs, wire_rows, sel_rows, const_rows,
+            sigma_rows, zs_rows, zs_next_rows, partials_lde, betas, gammas,
+            alphas, pi_hash_alg, l0)
+        zh_inv = field.inv_vec(zh)
+        quotient_chunks = []
+        for c in range(nc):
+            t_vals = field.mul(combined[c], zh_inv)
+            t_coeffs = np.asarray(nttmod.coset_intt(t_vals), dtype=np.uint64)
+            for i in range(m // n):
+                quotient_chunks.append(t_coeffs[i * n:(i + 1) * n])
+    q_batch = PolynomialBatch.from_coeffs(np.stack(quotient_chunks, axis=0),
+                                          fri_cfg.rate_bits, fri_cfg.cap_height)
+    ch.observe_cap(q_batch.cap)
+    zeta = ch.get_extension_challenge()
+
+    # 6. openings
+    omega = field.primitive_root_of_unity(common.degree_bits)
+    zeta_next = zeta * ExtensionField(omega)
+    zsp_evals = zsp_batch.eval_at_ext(zeta)
+    openings = OpeningSet(
+        constants_sigmas=po.constants_sigmas_batch.eval_at_ext(zeta),
+        wires=wires_batch.eval_at_ext(zeta),
+        zs=zsp_evals[:nc],
+        partials=zsp_evals[nc:],
+        quotient=q_batch.eval_at_ext(zeta),
+        zs_next=eval_coeffs_at_ext(zsp_batch.coeffs[:nc], zeta_next),
+    )
+    for e in openings.flat():
+        ch.observe_extension(e)
+
+    # 7. FRI on the combined opening polynomial
+    fri_alpha = ch.get_extension_challenge()
+    oracles = [po.constants_sigmas_batch, wires_batch, zsp_batch, q_batch]
+    all_rows = np.concatenate([o.lde_values for o in oracles], axis=0)
+    ys1 = (openings.constants_sigmas + openings.wires + openings.zs
+           + openings.partials + openings.quotient)
+    with np.errstate(over="ignore"):
+        r1 = _combine_batch(all_rows, ys1, fri_alpha)
+        inv1 = _ext_inv_vec(_ext_const_sub(xs, zeta))
+        f_vals = ext_mul(r1, inv1)
+        r2 = _combine_batch(zsp_batch.lde_values[:nc], openings.zs_next, fri_alpha)
+        inv2 = _ext_inv_vec(_ext_const_sub(xs, zeta_next))
+        shift = fri_alpha ** all_rows.shape[0]
+        shift_arr = np.broadcast_to(
+            np.array([shift.a0, shift.a1], dtype=np.uint64), (m, 2))
+        f_vals = field.add(f_vals, ext_mul(shift_arr, ext_mul(r2, inv2)))
+        fri_proof = fri_prove(f_vals, oracles, ch, fri_cfg, common.degree_bits)
+
+    proof = Proof(wires_cap=np.asarray(wires_batch.cap),
+                  zs_partial_cap=np.asarray(zsp_batch.cap),
+                  quotient_cap=np.asarray(q_batch.cap),
+                  openings=openings, fri=fri_proof)
+    return ProofWithPublicInputs(proof=proof, public_inputs=pi_values)

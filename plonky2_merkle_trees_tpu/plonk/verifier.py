@@ -1,0 +1,121 @@
+"""Native proof verifier: transcript replay, vanishing check at zeta, FRI.
+
+Mirrors ``CircuitData::verify`` (SURVEY.md §2.2); raises nothing itself —
+returns bool, CircuitData.verify wraps it with the reference's panic
+behaviour.
+"""
+
+from typing import List
+
+import numpy as np
+
+from .. import field, poseidon
+from .algebra import ExtAlgebra
+from .challenger import Challenger
+from .field_ext import ExtensionField
+from .fri import fri_verify
+from .proof import ProofWithPublicInputs
+from .vanishing import CHUNK, eval_combined
+
+P = field.P
+
+
+def verify(circuit_data, pwpi: ProofWithPublicInputs) -> bool:
+    common = circuit_data.common
+    vo = circuit_data.verifier_only
+    config = common.config
+    fri_cfg = config.fri_config
+    n = common.degree
+    nc = config.num_challenges
+    r_wires = config.num_routed_wires
+    num_chunks = r_wires // CHUNK
+    proof = pwpi.proof
+    op = proof.openings
+
+    if len(pwpi.public_inputs) != common.num_public_inputs:
+        return False
+    pi_hash = poseidon.hash_no_pad_scalar(pwpi.public_inputs) \
+        if pwpi.public_inputs else np.zeros(4, dtype=np.uint64)
+
+    # --- transcript replay ---
+    ch = Challenger()
+    ch.observe_hash(vo.circuit_digest)
+    ch.observe_hash(pi_hash)
+    ch.observe_cap(proof.wires_cap)
+    betas = ch.get_n_challenges(nc)
+    gammas = ch.get_n_challenges(nc)
+    ch.observe_cap(proof.zs_partial_cap)
+    alphas = ch.get_n_challenges(nc)
+    ch.observe_cap(proof.quotient_cap)
+    zeta = ch.get_extension_challenge()
+    for e in op.flat():
+        ch.observe_extension(e)
+    fri_alpha = ch.get_extension_challenge()
+
+    # --- vanishing check at zeta ---
+    alg = ExtAlgebra()
+    num_sel = common.selectors.shape[0]
+    sels = op.constants_sigmas[:num_sel]
+    consts = op.constants_sigmas[num_sel:num_sel + 2]
+    sigmas = op.constants_sigmas[num_sel + 2:num_sel + 2 + r_wires]
+    partials = {c: op.partials[c * (num_chunks - 1):(c + 1) * (num_chunks - 1)]
+                for c in range(nc)}
+    pi_hash_ext = [ExtensionField(int(v)) for v in pi_hash]
+
+    zeta_pow_n = zeta ** n
+    zh = zeta_pow_n - 1
+    if zh.is_zero():
+        return False
+    l0 = zh / ((zeta - 1) * n)
+    combined = eval_combined(
+        alg, r_wires, common.k_is, zeta, op.wires, sels, consts, sigmas,
+        op.zs, op.zs_next, partials, betas, gammas, alphas, pi_hash_ext, l0)
+
+    for c in range(nc):
+        t_at_zeta = ExtensionField(0)
+        chunks = op.quotient[c * (1 << fri_cfg.rate_bits):
+                             (c + 1) * (1 << fri_cfg.rate_bits)]
+        for chunk in reversed(chunks):
+            t_at_zeta = t_at_zeta * zeta_pow_n + chunk
+        if combined[c] != zh * t_at_zeta:
+            return False
+
+    # --- FRI ---
+    omega = field.primitive_root_of_unity(common.degree_bits)
+    zeta_next = zeta * ExtensionField(omega)
+    ys1 = (op.constants_sigmas + op.wires + op.zs + op.partials + op.quotient)
+    n1 = len(ys1)
+    lde_shift = field.MULTIPLICATIVE_GROUP_GENERATOR
+    lde_omega = field.primitive_root_of_unity(common.lde_bits)
+
+    # expected leaf sizes per oracle (shape check before recombination)
+    oracle_sizes = [num_sel + 2 + r_wires, config.num_wires,
+                    nc * num_chunks, nc * (1 << fri_cfg.rate_bits)]
+
+    def compute_initial_eval(index: int, initial) -> ExtensionField:
+        if len(initial.leaf_values) != 4:
+            raise ValueError("bad oracle count")
+        for lv, size in zip(initial.leaf_values, oracle_sizes):
+            if len(lv) != size:
+                raise ValueError("bad oracle leaf size")
+        x = ExtensionField(lde_shift * pow(lde_omega, index, P) % P)
+        values = [int(v) for lv in initial.leaf_values for v in lv]
+        acc1 = ExtensionField(0)
+        for v, y in zip(reversed(values), reversed(ys1)):
+            acc1 = acc1 * fri_alpha + (ExtensionField(v) - y)
+        result = acc1 / (x - zeta)
+        zs_leaf = initial.leaf_values[2][:nc]
+        acc2 = ExtensionField(0)
+        for v, y in zip(reversed([int(v) for v in zs_leaf]),
+                        reversed(op.zs_next)):
+            acc2 = acc2 * fri_alpha + (ExtensionField(v) - y)
+        result = result + (fri_alpha ** n1) * (acc2 / (x - zeta_next))
+        return result
+
+    oracle_caps = [vo.constants_sigmas_cap, proof.wires_cap,
+                   proof.zs_partial_cap, proof.quotient_cap]
+    try:
+        return fri_verify(proof.fri, compute_initial_eval, oracle_caps, ch,
+                          fri_cfg, common.degree_bits, common.lde_bits)
+    except (ValueError, IndexError):
+        return False
