@@ -103,6 +103,10 @@ class MMR:
         n = int(leaves.shape[0])
         if n == 0:
             return cls([])
+        from .poseidon import _native
+        nat = _native()
+        if nat:
+            return cls(list(nat.mmr_from_leaves(leaves)))
         size = 2 * n - int(bin(n).count("1"))
         out = np.zeros((size, 4), dtype=np.uint64)
 

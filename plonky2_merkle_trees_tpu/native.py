@@ -1,0 +1,117 @@
+"""ctypes bindings for the native host library (native/goldilocks_poseidon.cpp).
+
+The library is compiled on first use with g++ -O3 and cached next to the
+source; if no compiler is available everything falls back to the pure-Python
+scalar paths transparently (``available()`` reports which is active).
+Parameters are injected from poseidon_constants.py at load, keeping a single
+source of truth for the round constants.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .poseidon_constants import all_round_constants, mds_matrix
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "native", "goldilocks_poseidon.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libgoldilocks_poseidon.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SRC):
+            return None
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.gp_init.argtypes = [u64p, u64p]
+        lib.gp_ready.restype = ctypes.c_int
+        lib.gp_permute_batch.argtypes = [u64p, ctypes.c_size_t]
+        lib.gp_two_to_one_batch.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
+        lib.gp_hash_no_pad.argtypes = [u64p, ctypes.c_size_t, u64p]
+        lib.gp_tree_level.argtypes = [u64p, u64p, ctypes.c_size_t]
+        lib.gp_mmr_from_leaves.argtypes = [u64p, ctypes.c_size_t, u64p]
+        rc = np.array(all_round_constants(), dtype=np.uint64)
+        mds = np.array(mds_matrix(), dtype=np.uint64).reshape(-1)
+        lib.gp_init(rc.ctypes.data_as(u64p), mds.ctypes.data_as(u64p))
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def permute_batch(states: np.ndarray) -> np.ndarray:
+    """In-place-style batch permutation; returns a new (n, 12) array."""
+    lib = _load()
+    out = np.ascontiguousarray(states, dtype=np.uint64).copy()
+    lib.gp_permute_batch(_ptr(out), out.shape[0])
+    return out
+
+
+def two_to_one(left, right) -> np.ndarray:
+    lib = _load()
+    left = np.ascontiguousarray(left, dtype=np.uint64).reshape(-1, 4)
+    right = np.ascontiguousarray(right, dtype=np.uint64).reshape(-1, 4)
+    out = np.empty_like(left)
+    lib.gp_two_to_one_batch(_ptr(left), _ptr(right), _ptr(out), left.shape[0])
+    return out
+
+
+def hash_no_pad(inputs) -> np.ndarray:
+    lib = _load()
+    arr = np.ascontiguousarray(inputs, dtype=np.uint64)
+    out = np.empty(4, dtype=np.uint64)
+    lib.gp_hash_no_pad(_ptr(arr), arr.shape[0], _ptr(out))
+    return out
+
+
+def tree_level(level: np.ndarray) -> np.ndarray:
+    lib = _load()
+    level = np.ascontiguousarray(level, dtype=np.uint64)
+    n_pairs = level.shape[0] // 2
+    out = np.empty((n_pairs, 4), dtype=np.uint64)
+    lib.gp_tree_level(_ptr(level), _ptr(out), n_pairs)
+    return out
+
+
+def mmr_from_leaves(leaves) -> np.ndarray:
+    lib = _load()
+    leaves = np.ascontiguousarray(leaves, dtype=np.uint64)
+    n = int(leaves.shape[0])
+    size = 2 * n - bin(n).count("1")
+    out = np.empty((size, 4), dtype=np.uint64)
+    lib.gp_mmr_from_leaves(_ptr(leaves), n, _ptr(out))
+    return out

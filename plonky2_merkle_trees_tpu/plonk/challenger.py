@@ -22,7 +22,7 @@ class Challenger:
         for i, v in enumerate(self.input_buffer):
             self.sponge_state[i] = v
         self.input_buffer.clear()
-        self.sponge_state = poseidon.permute_host(self.sponge_state)
+        self.sponge_state = poseidon.permute_scalar(self.sponge_state)
         self.output_buffer = list(self.sponge_state[:RATE])
 
     def observe_element(self, x: int) -> None:

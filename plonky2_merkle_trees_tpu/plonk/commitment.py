@@ -38,7 +38,7 @@ def hash_rows(matrix) -> np.ndarray:
             state[:, :k] = chunk
         else:
             state = state.at[:, :k].set(chunk)
-        state = poseidon.permute(state)
+        state = poseidon.permute_best(state)
     return state[:, :4]
 
 

@@ -125,7 +125,7 @@ def _pow_challenge_states(challenger: Challenger, nonces: np.ndarray) -> np.ndar
     for i, v in enumerate(base_inputs):
         state[:, i] = v
     state[:, len(base_inputs)] = nonces
-    out = poseidon.permute(state)
+    out = poseidon.permute_best(state)
     return out[:, 7]  # output_buffer.pop() returns state[rate-1]
 
 

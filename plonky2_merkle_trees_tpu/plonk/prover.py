@@ -186,8 +186,9 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
             field.mul_small(field.sub(xs, np.uint64(1)), n % P)))
         combined = eval_combined(
             alg, r_wires, common.k_is, xs, wire_rows, sel_rows, const_rows,
-            sigma_rows, zs_rows, zs_next_rows, partials_lde, betas, gammas,
-            alphas, pi_hash_alg, l0)
+            sigma_rows, zs_rows, zs_next_rows, partials_lde,
+            [np.uint64(b) for b in betas], [np.uint64(g) for g in gammas],
+            [np.uint64(a) for a in alphas], pi_hash_alg, l0)
         zh_inv = field.inv_vec(zh)
         quotient_chunks = []
         for c in range(nc):

@@ -30,8 +30,9 @@ def eval_combined(alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
                   zs, zs_next, partials, betas, gammas, alphas, pi_hash, l0):
     """Returns [C_c] for each challenge set c — the full combined constraint.
 
-    All *values* arguments are alg elements; betas/gammas/alphas are host
-    ints (base-field challenges).
+    ALL value arguments — including the beta/gamma/alpha challenges — are
+    alg elements, so the same code runs vectorised (prover), at zeta
+    (verifier), and over circuit targets (recursive verifier).
     """
     gate_terms = eval_gate_constraints(alg, selectors, wires, constants, pi_hash)
     num_chunks = num_routed // CHUNK
@@ -47,10 +48,9 @@ def eval_combined(alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
             f = None
             g = None
             for i in range(CHUNK * j, CHUNK * (j + 1)):
-                fi = alg.add(alg.add_const(alg.mul_const(x, beta * k_is[i] % P), gamma),
-                             wires[i])
-                gi = alg.add(alg.add_const(alg.mul_const(sigmas[i], beta), gamma),
-                             wires[i])
+                fi = alg.add(alg.add(alg.mul(beta, alg.mul_const(x, k_is[i])),
+                                     gamma), wires[i])
+                gi = alg.add(alg.add(alg.mul(beta, sigmas[i]), gamma), wires[i])
                 f = fi if f is None else alg.mul(f, fi)
                 g = gi if g is None else alg.mul(g, gi)
             nxt = partials[c][j] if j < num_chunks - 1 else zs_next[c]
@@ -60,6 +60,6 @@ def eval_combined(alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
         # Horner-combine with alpha_c
         acc = alg.constant(0)
         for t in reversed(terms):
-            acc = alg.add(alg.mul_const(acc, alphas[c]), t)
+            acc = alg.add(alg.mul(acc, alphas[c]), t)
         out.append(acc)
     return out

@@ -69,7 +69,9 @@ def verify(circuit_data, pwpi: ProofWithPublicInputs) -> bool:
     l0 = zh / ((zeta - 1) * n)
     combined = eval_combined(
         alg, r_wires, common.k_is, zeta, op.wires, sels, consts, sigmas,
-        op.zs, op.zs_next, partials, betas, gammas, alphas, pi_hash_ext, l0)
+        op.zs, op.zs_next, partials,
+        [ExtensionField(b) for b in betas], [ExtensionField(g) for g in gammas],
+        [ExtensionField(a) for a in alphas], pi_hash_ext, l0)
 
     for c in range(nc):
         t_at_zeta = ExtensionField(0)

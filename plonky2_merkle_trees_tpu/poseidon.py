@@ -108,6 +108,25 @@ def permute(state):
     return _permute_jnp(state)
 
 
+_JIT_PERMUTE = None
+PERMUTE_JIT_THRESHOLD = 4096
+
+
+def permute_best(state):
+    """Batched permutation routed through jitted XLA for large numpy batches
+    (one fused program instead of thousands of numpy temporaries); small
+    batches stay on the plain numpy path to avoid compile overhead."""
+    global _JIT_PERMUTE
+    if field._xp(state) is not np:
+        return _permute_jnp(state)
+    if state.ndim != 2 or state.shape[0] < PERMUTE_JIT_THRESHOLD:
+        return _permute_np(state)
+    import jax
+    if _JIT_PERMUTE is None:
+        _JIT_PERMUTE = jax.jit(_permute_jnp)
+    return np.asarray(_JIT_PERMUTE(state))
+
+
 # ---------------------------------------------------------------------------
 # Batched sponge modes (arrays of digests; leading batch dims arbitrary)
 # ---------------------------------------------------------------------------
@@ -214,14 +233,42 @@ def _digest(values) -> np.ndarray:
     return np.array(values[:4], dtype=np.uint64)
 
 
+_NATIVE = None
+
+
+def _native():
+    """Lazy handle to the C++ host library (False when unavailable)."""
+    global _NATIVE
+    if _NATIVE is None:
+        from . import native
+        _NATIVE = native if native.available() else False
+    return _NATIVE
+
+
+def permute_scalar(state):
+    """Scalar permutation on a list of 12 ints (C++ fast path)."""
+    nat = _native()
+    if nat:
+        arr = np.asarray([int(v) % _P for v in state], dtype=np.uint64)
+        return [int(v) for v in nat.permute_batch(arr[None, :])[0]]
+    return permute_host(state)
+
+
 def two_to_one_scalar(left, right) -> np.ndarray:
-    """Host-scalar two_to_one on (4,)-digests (python-int fast path)."""
+    """Host-scalar two_to_one on (4,)-digests (C++ fast path, python fallback)."""
+    nat = _native()
+    if nat:
+        return nat.two_to_one(left, right)[0]
     state = [int(x) for x in left] + [int(x) for x in right] + [0, 0, 0, 0]
     return _digest(permute_host(state))
 
 
 def hash_no_pad_scalar(inputs) -> np.ndarray:
     """Host-scalar overwrite-mode sponge over a list of ints -> (4,) digest."""
+    nat = _native()
+    if nat:
+        return nat.hash_no_pad(np.asarray([int(v) % _P for v in inputs],
+                                          dtype=np.uint64))
     vals = [int(x) for x in inputs]
     state = [0] * WIDTH
     for start in range(0, len(vals), RATE):
