@@ -326,6 +326,21 @@ class CircuitBuilder:
         for t in ts:
             self.register_public_input(t)
 
+    # -- recursion (reference API parity: builder.add_virtual_proof_with_pis /
+    #    add_virtual_verifier_data / verify_proof) ---------------------------------
+
+    def add_virtual_proof_with_pis(self, inner_common):
+        from .recursion import add_virtual_proof_with_pis
+        return add_virtual_proof_with_pis(self, inner_common)
+
+    def add_virtual_verifier_data(self, cap_height: int):
+        from .recursion import add_virtual_verifier_data
+        return add_virtual_verifier_data(self, cap_height)
+
+    def verify_proof(self, proof_target, verifier_data_target, inner_common):
+        from .recursion import verify_proof_circuit
+        verify_proof_circuit(self, proof_target, verifier_data_target, inner_common)
+
     # -- build -------------------------------------------------------------------------
 
     def build(self):

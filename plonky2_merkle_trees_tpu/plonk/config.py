@@ -47,3 +47,11 @@ class CircuitConfig:
     @staticmethod
     def standard_recursion_config() -> "CircuitConfig":
         return CircuitConfig()
+
+    @staticmethod
+    def test_config() -> "CircuitConfig":
+        """Reduced-security config (fewer FRI queries, lighter grinding) so
+        recursion tests stay seconds, not minutes.  Protocol shape is
+        identical to the standard config."""
+        return CircuitConfig(fri_config=FriConfig(num_query_rounds=6,
+                                                  proof_of_work_bits=8))

@@ -45,6 +45,14 @@ class PartialWitness:
         self.set_target(ext_target[0], value.a0)
         self.set_target(ext_target[1], value.a1)
 
+    def set_proof_with_pis_target(self, proof_target, proof_with_pis) -> None:
+        from .recursion import set_proof_with_pis_target
+        set_proof_with_pis_target(self, proof_target, proof_with_pis)
+
+    def set_verifier_data_target(self, vdata_target, verifier_only) -> None:
+        from .recursion import set_verifier_data_target
+        set_verifier_data_target(self, vdata_target, verifier_only)
+
 
 class WitnessStore:
     """Copy-class-rooted value store used during generation."""

@@ -1,0 +1,141 @@
+"""Recursive verification tests — BASELINE config 4 parity surface.
+
+Uses CircuitConfig.test_config() (fewer FRI queries / lighter grinding) so
+each outer proof stays ~1 minute on the CPU test mesh; protocol shape is
+identical to the standard config.
+"""
+
+import numpy as np
+import pytest
+
+from plonky2_merkle_trees_tpu import MMR, MerkleTree, NaiveMMR, field
+from plonky2_merkle_trees_tpu.plonk import PartialWitness, WitnessConflict
+from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig
+from plonky2_merkle_trees_tpu.circuits import (
+    verify_inner_merkle_proof_circuit,
+    verify_naive_inner_merkle_proof_circuit,
+    complete_verification_circuit_with_inner_proof,
+    initial_proof_circuit, recursive_step,
+    verify_merkle_proof_circuit_and_proof)
+
+CFG = CircuitConfig.test_config()
+
+
+def _leaves(n, seed):
+    return np.random.default_rng(seed).integers(0, field.P, size=n, dtype=np.uint64)
+
+
+@pytest.fixture(scope="module")
+def mmr_recursion_setup():
+    """Inner proof for a 7-leaf optimized MMR (reference driver
+    mmr_plonky2_verifier_1_recursion.rs:152-221)."""
+    leaves = _leaves(7, seed=1)
+    mmr = MMR.from_leaves(leaves)
+    pr = mmr.get_proof_normal_index(3)
+    root = mmr.bagging_the_peaks()
+
+    inner, leaf_t, proof_ts = verify_inner_merkle_proof_circuit(
+        len(pr.merkle_proof), len(pr.peaks), config=CFG)
+    pw1 = PartialWitness()
+    pw1.set_target(leaf_t, int(leaves[3]))
+    for (ht, bt), (h, left) in zip(proof_ts, pr.merkle_proof):
+        pw1.set_hash_target(ht, h)
+        pw1.set_bool_target(bt, left)
+    pi = inner.prover_only.public_inputs
+    idx = 0
+    for peak in pr.peaks:
+        for j in range(4):
+            pw1.set_target(pi[idx + j], int(peak[j]))
+        idx += 4
+    inner_proof = inner.prove(pw1)
+    inner.verify(inner_proof)
+    return leaves, mmr, pr, root, inner, inner_proof
+
+
+def test_mmr_1_recursion_optimized(mmr_recursion_setup):
+    leaves, mmr, pr, root, inner, inner_proof = mmr_recursion_setup
+    outer, proof_t, vdata_t, peak_ts = complete_verification_circuit_with_inner_proof(
+        inner.common, len(pr.peaks), config=CFG)
+    pw2 = PartialWitness()
+    pw2.set_proof_with_pis_target(proof_t, inner_proof)
+    pw2.set_verifier_data_target(vdata_t, inner.verifier_only)
+    for t, peak in zip(peak_ts, pr.peaks):
+        pw2.set_hash_target(t, peak)
+    for t, v in zip(outer.prover_only.public_inputs, root):
+        pw2.set_target(t, int(v))
+    final = outer.prove(pw2)
+    outer.verify(final)
+    assert final.public_inputs == [int(v) for v in root]
+
+
+def test_mmr_1_recursion_tampered_inner_rejected(mmr_recursion_setup):
+    import copy
+    leaves, mmr, pr, root, inner, inner_proof = mmr_recursion_setup
+    outer, proof_t, vdata_t, peak_ts = complete_verification_circuit_with_inner_proof(
+        inner.common, len(pr.peaks), config=CFG)
+    bad_inner = copy.deepcopy(inner_proof)
+    bad_inner.public_inputs[0] = (bad_inner.public_inputs[0] + 1) % field.P
+    pw2 = PartialWitness()
+    pw2.set_proof_with_pis_target(proof_t, bad_inner)
+    pw2.set_verifier_data_target(vdata_t, inner.verifier_only)
+    for t, peak in zip(peak_ts, pr.peaks):
+        pw2.set_hash_target(t, peak)
+    for t, v in zip(outer.prover_only.public_inputs, root):
+        pw2.set_target(t, int(v))
+    with pytest.raises((WitnessConflict, AssertionError, RuntimeError)):
+        final = outer.prove(pw2)
+        outer.verify(final)
+
+
+def test_naive_mmr_1_recursion():
+    """Naive variant with the extended Merkle proof (subtree root appended)
+    feeding the inner public input (reference naive_..._1_recursion.rs
+    :159-262)."""
+    leaves = _leaves(8, seed=2)
+    mmr = NaiveMMR(int(leaves[0]))
+    for leaf in leaves[1:]:
+        mmr.add_leaf(int(leaf))
+    bagged = mmr.bagging_the_peaks()
+    proof_ext = mmr.get_proof_with_extended_merkleproof(0)
+    path, peaks, rel_index = proof_ext
+    subtree_root = path[-1]
+    merkle_path = path[:-1]
+
+    inner, targets = verify_naive_inner_merkle_proof_circuit(
+        rel_index, len(merkle_path), config=CFG)
+    pw1 = PartialWitness()
+    pw1.set_hash_target(targets[0], mmr.elements[0])
+    for i, h in enumerate(merkle_path):
+        pw1.set_hash_target(targets[1 + i], h)
+    for t, v in zip(inner.prover_only.public_inputs, subtree_root):
+        pw1.set_target(t, int(v))
+    inner_proof = inner.prove(pw1)
+    inner.verify(inner_proof)
+    assert inner_proof.public_inputs == [int(v) for v in subtree_root]
+
+    outer, proof_t, vdata_t, peak_ts = complete_verification_circuit_with_inner_proof(
+        inner.common, len(peaks), config=CFG)
+    pw2 = PartialWitness()
+    pw2.set_proof_with_pis_target(proof_t, inner_proof)
+    pw2.set_verifier_data_target(vdata_t, inner.verifier_only)
+    for t, peak in zip(peak_ts, peaks):
+        pw2.set_hash_target(t, peak)
+    for t, v in zip(outer.prover_only.public_inputs, bagged.root):
+        pw2.set_target(t, int(v))
+    final = outer.prove(pw2)
+    outer.verify(final)
+    assert final.public_inputs == [int(v) for v in bagged.root]
+
+
+def test_example2_recursive_chain_4_leaves():
+    """Layer-per-proof chain over a 4-leaf tree (example2 parity: one
+    initial proof + one recursive step reaching the root)."""
+    leaves = _leaves(4, seed=3)
+    tree = MerkleTree.build(leaves)
+    merkle_proof = tree.get_merkle_proof(0)
+    in_between = tree.get_in_between_hashes(0)
+
+    circuit, proof = verify_merkle_proof_circuit_and_proof(
+        0, tree.tree[0][0], merkle_proof, in_between, config=CFG)
+    circuit.verify(proof)
+    assert proof.public_inputs == [int(v) for v in tree.root]
