@@ -66,12 +66,22 @@ class MerkleCommitment:
 
     def open(self, index: int) -> List[np.ndarray]:
         """Sibling digests from the leaf up to (excluding) the cap."""
-        path = []
-        idx = index
+        return self.open_many([index])[0]
+
+    def open_many(self, indices) -> List[List[np.ndarray]]:
+        """Batched openings: per-level gathers so device-resident trees pay
+        ONE transfer per level instead of one round trip per (query, level).
+        Returns one sibling path (list of (4,) digests) per index."""
+        idxs = np.asarray([int(i) for i in indices], dtype=np.int64)
+        per_level = []
         for level in self.levels[:-1]:
-            path.append(np.array(level[idx ^ 1]))
-            idx //= 2
-        return path
+            xp = field._xp(level)
+            sel = idxs ^ 1
+            sibs = np.asarray(level[sel] if xp is np else level[xp.asarray(sel)])
+            per_level.append(sibs)
+            idxs = idxs // 2
+        n_q = len(indices)
+        return [[lv[q] for lv in per_level] for q in range(n_q)]
 
     @staticmethod
     def verify(leaf_values, index: int, path: List[np.ndarray], cap) -> bool:
@@ -121,7 +131,17 @@ class PolynomialBatch:
 
     def open_lde_row(self, index: int):
         """(leaf values at LDE index, merkle path)."""
-        return self.lde_values[:, index].copy(), self.tree.open(index)
+        rows, paths = self.open_lde_rows([index])
+        return rows[0], paths[0]
+
+    def open_lde_rows(self, indices):
+        """Batched query openings: ([leaf values per index], [path per index]);
+        one gather+transfer per level for device-resident oracles."""
+        xp = field._xp(self.lde_values)
+        idxs = np.asarray([int(i) for i in indices], dtype=np.int64)
+        sel = idxs if xp is np else xp.asarray(idxs)
+        rows = np.asarray(self.lde_values[:, sel]).T.copy()   # (n_q, num_polys)
+        return list(rows), self.tree.open_many(indices)
 
     def eval_at_ext(self, zeta: ExtensionField) -> List[ExtensionField]:
         """Evaluate every polynomial at an extension point (batched)."""

@@ -199,23 +199,38 @@ def fri_prove(lde_ext_values: np.ndarray, oracles, challenger: Challenger,
     pow_witness = find_pow_witness(challenger, fri_config.proof_of_work_bits)
     assert check_pow(challenger, pow_witness, fri_config.proof_of_work_bits)
 
-    # queries
+    # queries — indices drawn first, then every oracle/tree/layer gathered in
+    # one batched transfer (device-resident arrays pay per-level, not
+    # per-query, round trips)
+    n_q = fri_config.num_query_rounds
+    indices = [challenger.get_challenge() % m for _ in range(n_q)]
+    oracle_rows = [oracle.open_lde_rows(indices) for oracle in oracles]
+
+    layer_cosets: List[np.ndarray] = []    # per layer: (n_q, 2^a, 2) coset values
+    layer_paths: List[List[List[np.ndarray]]] = []
+    idxs = list(indices)
+    for tree, a_bits, values in zip(trees, layer_arities, layer_values):
+        m_layer = values.shape[0]
+        m_next = m_layer >> a_bits
+        rows = [i % m_next for i in idxs]
+        xp = field._xp(values)
+        # gather indices row + t*m_next for t < 2^a, for every query at once
+        gidx = np.asarray(rows, dtype=np.int64)[:, None] + \
+            (np.arange(1 << a_bits, dtype=np.int64) * m_next)[None, :]
+        sel = gidx if xp is np else xp.asarray(gidx)
+        layer_cosets.append(np.asarray(values[sel.reshape(-1)])
+                            .reshape(n_q, 1 << a_bits, 2))
+        layer_paths.append(tree.open_many(rows))
+        idxs = rows
+
     query_rounds = []
-    for _ in range(fri_config.num_query_rounds):
-        index = challenger.get_challenge() % m
-        rows = [oracle.open_lde_row(index) for oracle in oracles]
-        initial = FriInitialOpening(leaf_values=[r[0] for r in rows],
-                                    paths=[r[1] for r in rows])
-        steps = []
-        idx = index
-        for tree, a_bits, values in zip(trees, layer_arities, layer_values):
-            m_layer = values.shape[0]
-            m_next = m_layer >> a_bits
-            row = idx % m_next
-            coset = values[row::m_next]      # (2^a, 2): t-th entry at row + t*m_next
-            steps.append(FriQueryStep(coset_values=np.ascontiguousarray(coset),
-                                      path=tree.open(row)))
-            idx = row
+    for q, index in enumerate(indices):
+        initial = FriInitialOpening(
+            leaf_values=[oracle_rows[o][0][q] for o in range(len(oracles))],
+            paths=[oracle_rows[o][1][q] for o in range(len(oracles))])
+        steps = [FriQueryStep(coset_values=layer_cosets[lv][q],
+                              path=layer_paths[lv][q])
+                 for lv in range(len(trees))]
         query_rounds.append(FriQueryRound(index=index, initial=initial, steps=steps))
 
     return FriProof(commit_caps=caps, final_poly=final_poly,

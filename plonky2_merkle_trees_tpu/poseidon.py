@@ -108,23 +108,22 @@ def permute(state):
     return _permute_jnp(state)
 
 
-_JIT_PERMUTE = None
-PERMUTE_JIT_THRESHOLD = 4096
-
-
 def permute_best(state):
-    """Batched permutation routed through jitted XLA for large numpy batches
-    (one fused program instead of thousands of numpy temporaries); small
-    batches stay on the plain numpy path to avoid compile overhead."""
-    global _JIT_PERMUTE
+    """Batched permutation with the best backend for where the data lives.
+
+    * jax arrays stay on device (XLA path; use the Pallas kernel directly for
+      the largest batches).
+    * numpy arrays route through the native C++ library when available (~7x
+      the vectorised-numpy path on this host) — crucially WITHOUT a
+      host->device round trip: the tunnel transfer + per-process warmup cost
+      far exceeds the compute for any host-side batch worth keeping on host.
+    """
     if field._xp(state) is not np:
         return _permute_jnp(state)
-    if state.ndim != 2 or state.shape[0] < PERMUTE_JIT_THRESHOLD:
-        return _permute_np(state)
-    import jax
-    if _JIT_PERMUTE is None:
-        _JIT_PERMUTE = jax.jit(_permute_jnp)
-    return np.asarray(_JIT_PERMUTE(state))
+    nat = _native()
+    if nat and state.ndim == 2:
+        return nat.permute_batch(state)
+    return _permute_np(state)
 
 
 # ---------------------------------------------------------------------------
