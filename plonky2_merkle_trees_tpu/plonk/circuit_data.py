@@ -66,6 +66,10 @@ class CircuitData:
         self.verifier_only = verifier_only
 
     def prove(self, partial_witness):
+        from .device import device_mode
+        if device_mode(self.common):
+            from .device import prove_device
+            return prove_device(self, partial_witness)
         from .prover import prove
         return prove(self, partial_witness)
 

@@ -60,6 +60,16 @@ class MerkleCommitment:
             level = poseidon.two_to_one(pairs[:, 0, :], pairs[:, 1, :])
             self.levels.append(level)
 
+    @classmethod
+    def from_levels(cls, levels, cap_height: int) -> "MerkleCommitment":
+        """Wrap precomputed digest levels (e.g. built inside a jitted device
+        stage) without re-hashing or forcing a device->host copy."""
+        obj = cls.__new__(cls)
+        obj.cap_height = cap_height
+        obj.leaves = None
+        obj.levels = list(levels)
+        return obj
+
     @property
     def cap(self) -> np.ndarray:
         return self.levels[-1]

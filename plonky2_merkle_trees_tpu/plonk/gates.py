@@ -188,6 +188,82 @@ class PoseidonGate(Gate):
     num_constraints = 36 + PARTIAL_ROUNDS + 12 + 36 + 12  # 118
 
     def eval(self, alg, wires, constants, pi_hash):
+        from .algebra import BatchAlgebra
+        if isinstance(alg, BatchAlgebra):
+            return self._eval_batch(alg, wires)
+        return self._eval_scalar(alg, wires, constants, pi_hash)
+
+    def _eval_batch(self, alg, wires):
+        """Vectorised twin of _eval_scalar: identical integer math on stacked
+        (12, m)/(22, m) arrays.  The scalar walk emits ~50k array primitives
+        when traced — enough to OOM the XLA compile helper; this path emits
+        ~2k.  Constraint order and values are bit-identical (same exact
+        mod-p arithmetic, same list order)."""
+        xp = alg.xp
+        from .. import poseidon as _pm
+
+        def stack(base, count):
+            return xp.stack([wires[base + i] for i in range(count)])
+
+        def col(vals):
+            return xp.asarray(np.array(vals, dtype=np.uint64))[:, None]
+
+        def mds(arr):
+            # circulant+diag MDS across the stacked axis (exact, same math
+            # as the scalar sum of mul_consts)
+            return _pm._mds_layer(arr.T, xp).T
+
+        def full_round_check(base, prev7, rc_next):
+            acc = field.add(mds(prev7), col(rc_next))
+            return field.sub(stack(base, WIDTH), acc)
+
+        blocks = []
+        t = field.exp7(field.add(stack(_IN, WIDTH), col(_rc_row(0))))
+        blocks.append(full_round_check(_S1, t, _rc_row(1)))
+        s1_7 = field.exp7(stack(_S1, WIDTH))
+        blocks.append(full_round_check(_S2, s1_7, _rc_row(2)))
+        s2_7 = field.exp7(stack(_S2, WIDTH))
+        blocks.append(full_round_check(_S3, s2_7, _rc_row(3)))
+
+        pr_rows, s26_rows = _partial_round_affine()
+        s3_7 = field.exp7(stack(_S3, WIDTH))
+        pr_w = stack(_PR, PARTIAL_ROUNDS)
+        pr_7 = field.exp7(pr_w)
+        basis = xp.concatenate([s3_7, pr_7], axis=0)          # (34, m)
+        n_rows = PARTIAL_ROUNDS + WIDTH
+        n_basis = 1 + WIDTH + PARTIAL_ROUNDS
+        mat = np.zeros((n_rows, n_basis), dtype=np.uint64)
+        for k in range(PARTIAL_ROUNDS):
+            row = pr_rows[k][:1 + WIDTH + k]
+            mat[k, :len(row)] = row
+        for i in range(WIDTH):
+            mat[PARTIAL_ROUNDS + i, :] = s26_rows[i]
+        m_pts = wires[0].shape[-1]
+        acc = xp.broadcast_to(xp.asarray(mat[:, 0])[:, None], (n_rows, m_pts))
+        for b in range(1, n_basis):
+            cb = mat[:, b]
+            if not cb.any():
+                continue
+            acc = field.add(acc, field.mul(xp.asarray(cb)[:, None],
+                                           basis[b - 1][None, :]))
+        blocks.append(field.sub(pr_w, acc[:PARTIAL_ROUNDS]))
+        blocks.append(field.sub(stack(_S26, WIDTH), acc[PARTIAL_ROUNDS:]))
+
+        s26_7 = field.exp7(stack(_S26, WIDTH))
+        blocks.append(full_round_check(_S27, s26_7, _rc_row(27)))
+        s27_7 = field.exp7(stack(_S27, WIDTH))
+        blocks.append(full_round_check(_S28, s27_7, _rc_row(28)))
+        s28_7 = field.exp7(stack(_S28, WIDTH))
+        blocks.append(full_round_check(_S29, s28_7, _rc_row(29)))
+        s29_7 = field.exp7(stack(_S29, WIDTH))
+        blocks.append(field.sub(stack(_OUT, WIDTH), mds(s29_7)))
+
+        out = []
+        for blk in blocks:
+            out.extend(blk[i] for i in range(blk.shape[0]))
+        return out
+
+    def _eval_scalar(self, alg, wires, constants, pi_hash):
         cs = []
         rc0 = _rc_row(0)
         # t_j = (IN_j + rc0_j)^7

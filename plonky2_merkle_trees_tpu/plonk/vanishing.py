@@ -10,7 +10,10 @@ the protocol:
   (the last linking to Z(omega*x)), combined with powers of alpha_c.
 """
 
+import numpy as np
+
 from .gates import GATE_REGISTRY
+from .algebra import BatchAlgebra
 from .. import field
 
 P = field.P
@@ -32,8 +35,14 @@ def eval_combined(alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
 
     ALL value arguments — including the beta/gamma/alpha challenges — are
     alg elements, so the same code runs vectorised (prover), at zeta
-    (verifier), and over circuit targets (recursive verifier).
+    (verifier), and over circuit targets (recursive verifier).  The batched
+    (prover) execution takes a stacked-array fast path producing
+    bit-identical values with a ~50x smaller traced program.
     """
+    if isinstance(alg, BatchAlgebra):
+        return _eval_combined_batch(
+            alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
+            zs, zs_next, partials, betas, gammas, alphas, pi_hash, l0)
     gate_terms = eval_gate_constraints(alg, selectors, wires, constants, pi_hash)
     num_chunks = num_routed // CHUNK
     out = []
@@ -62,4 +71,74 @@ def eval_combined(alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
         for t in reversed(terms):
             acc = alg.add(alg.mul(acc, alphas[c]), t)
         out.append(acc)
+    return out
+
+
+def _powers_vec(xp, base, count: int):
+    """(count,) array [1, base, base^2, ...] for a dynamic scalar ``base``
+    via log2(count) doubling multiplies."""
+    powers = xp.ones((1,), dtype=xp.uint64)
+    cur = base
+    while powers.shape[0] < count:
+        k = min(powers.shape[0], count - powers.shape[0])
+        powers = xp.concatenate([powers, field.mul(powers[:k], cur)])
+        cur = field.mul(cur, cur)
+    return powers
+
+
+def _prod_axis1(arr):
+    """(k, c, m) -> (k, m) product over axis 1 by pairwise folding (c is a
+    power of two; mod-p multiplication is associative, so the fold equals the
+    sequential product exactly)."""
+    while arr.shape[1] > 1:
+        half = arr.shape[1] // 2
+        arr = field.mul(arr[:, :half], arr[:, half:])
+    return arr[:, 0]
+
+
+def _eval_combined_batch(alg, num_routed, k_is, x, wires, selectors, constants,
+                         sigmas, zs, zs_next, partials, betas, gammas, alphas,
+                         pi_hash, l0):
+    """Stacked-array evaluation: same constraint order/values as the generic
+    path (each step is the same exact mod-p arithmetic, reassociated only
+    where the operation is associative-commutative on canonical values)."""
+    xp = alg.xp
+    gate_terms = eval_gate_constraints(alg, selectors, wires, constants, pi_hash)
+    num_chunks = num_routed // CHUNK
+
+    routed = xp.stack([wires[i] for i in range(num_routed)])      # (R, m)
+    sig = xp.stack([sigmas[i] for i in range(num_routed)])        # (R, m)
+    k_col = xp.asarray(np.array([k % P for k in k_is],
+                                dtype=np.uint64))[:, None]        # (R, 1)
+    kx = field.mul(k_col, x[None, :])                             # (R, m)
+
+    out = []
+    for c in range(len(zs)):
+        beta, gamma = betas[c], gammas[c]
+        f_all = field.add(field.add(field.mul(kx, beta), gamma), routed)
+        g_all = field.add(field.add(field.mul(sig, beta), gamma), routed)
+        m_pts = f_all.shape[1]
+        f_prod = _prod_axis1(f_all.reshape(num_chunks, CHUNK, m_pts))
+        g_prod = _prod_axis1(g_all.reshape(num_chunks, CHUNK, m_pts))
+        prev_stack = xp.stack([zs[c]] + [partials[c][j]
+                                         for j in range(num_chunks - 1)])
+        nxt_stack = xp.stack([partials[c][j] for j in range(num_chunks - 1)]
+                             + [zs_next[c]])
+        chunk_terms = field.sub(field.mul(nxt_stack, g_prod),
+                                field.mul(prev_stack, f_prod))   # (chunks, m)
+
+        z0_term = field.mul(l0, field.sub(zs[c], xp.ones((), dtype=xp.uint64)))
+        terms = xp.concatenate(
+            [xp.stack(gate_terms), z0_term[None, :], chunk_terms], axis=0)
+        n_terms = terms.shape[0]
+        # Horner over reversed(terms) == sum_t alpha^t * terms[t]
+        pw = _powers_vec(xp, alphas[c], n_terms)
+        weighted = field.mul(pw[:, None], terms)
+        while weighted.shape[0] > 1:
+            half = weighted.shape[0] // 2
+            head = field.add(weighted[:half], weighted[half:2 * half])
+            if weighted.shape[0] % 2:
+                head = xp.concatenate([head, weighted[2 * half:]], axis=0)
+            weighted = head
+        out.append(weighted[0])
     return out
