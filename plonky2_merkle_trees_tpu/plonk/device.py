@@ -52,15 +52,24 @@ from . import prover as host_prover
 P = field.P
 
 
-def device_mode(common) -> bool:
-    """Device prover on? PMT_PROVER_DEVICE=1 forces, =0 disables, default:
-    on iff an accelerator platform is attached (never on the CPU test mesh,
-    where per-stage compiles would dominate the tiny test circuits)."""
+AUTO_DEVICE_MIN_DEGREE_BITS = 10
+
+
+def device_mode(common=None) -> bool:
+    """Device prover on? PMT_PROVER_DEVICE=1 forces, =0 disables.  In auto
+    mode: on iff an accelerator platform is attached AND the circuit is big
+    enough to amortise the per-shape XLA compiles (degree >= 2^10; a tiny
+    circuit proves in ~1.6s on the numpy+native path, while a cold stage
+    compile through the TPU tunnel costs minutes).  Never on the CPU test
+    mesh."""
     mode = os.environ.get("PMT_PROVER_DEVICE", "auto")
     if mode == "0":
         return False
     if mode == "1":
         return True
+    bits = getattr(common, "degree_bits", None)
+    if bits is not None and bits < AUTO_DEVICE_MIN_DEGREE_BITS:
+        return False
     import jax
     try:
         return jax.devices()[0].platform in ("tpu", "axon", "gpu", "cuda")
@@ -407,10 +416,12 @@ class DeviceBatch:
         return PolynomialBatch.open_lde_rows(self, indices)
 
 
-def _upload_batch(batch: PolynomialBatch, cache_attr: str = "_device"):
+def _upload_batch(batch, cache_attr: str = "_device"):
     """Host PolynomialBatch -> DeviceBatch (cached on the object). The tree
     levels stay host-side (already materialised at build time; open_many on
-    numpy levels is cheap)."""
+    numpy levels is cheap).  Already-device batches pass through."""
+    if isinstance(batch, DeviceBatch):
+        return batch
     dev = getattr(batch, cache_attr, None)
     if dev is None:
         jnp = _jnp()

@@ -135,6 +135,8 @@ def two_to_one(left, right):
     xp = field._xp(left)
     cap = xp.zeros(left.shape[:-1] + (4,), dtype=xp.uint64)
     state = xp.concatenate([left, right, cap], axis=-1)
+    if xp is np and state.ndim == 2:
+        return permute_best(state)[..., :4]   # native C++ fast path on host
     return permute(state)[..., :4]
 
 
