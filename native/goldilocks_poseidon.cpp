@@ -145,6 +145,38 @@ void gp_tree_level(const u64* level, u64* next, size_t n_pairs) {
     }
 }
 
+// Witness trace for one PoseidonGate row (plonk/gates.py wire layout).
+// in: 12 inputs; out (118): S1 S2 S3 (36 s-box inputs of full rounds 1-3),
+// PR (22 lane-0 s-box inputs of the partial rounds), S26 S27 S28 S29 (48),
+// OUT (12).  Mirrors PoseidonGate.fill_row exactly.
+void gp_poseidon_gate_trace(const u64* in, u64* out) {
+    u64* s1 = out;          u64* s2 = out + 12;   u64* s3 = out + 24;
+    u64* pr = out + 36;     u64* s26 = out + 58;  u64* s27 = out + 70;
+    u64* s28 = out + 82;    u64* s29 = out + 94;  u64* outw = out + 106;
+    u64 state[WIDTH];
+    memcpy(state, in, sizeof(state));
+    int rnd = 0;
+    u64 s[WIDTH], x[WIDTH];
+    for (; rnd < N_ROUNDS; rnd++) {
+        for (int i = 0; i < WIDTH; i++) s[i] = gl_add(state[i], RC[12 * rnd + i]);
+        u64* store = rnd == 1 ? s1 : rnd == 2 ? s2 : rnd == 3 ? s3 :
+                     rnd == 26 ? s26 : rnd == 27 ? s27 : rnd == 28 ? s28 :
+                     rnd == 29 ? s29 : nullptr;
+        if (store) memcpy(store, s, sizeof(s));
+        bool is_partial = rnd >= HALF_FULL && rnd < HALF_FULL + PARTIAL;
+        if (is_partial) {
+            pr[rnd - HALF_FULL] = s[0];
+            x[0] = sbox7(s[0]);
+            for (int i = 1; i < WIDTH; i++) x[i] = s[i];
+        } else {
+            for (int i = 0; i < WIDTH; i++) x[i] = sbox7(s[i]);
+        }
+        memcpy(state, x, sizeof(x));
+        mds_layer(state);
+    }
+    memcpy(outw, state, sizeof(state));
+}
+
 // Sequential MMR bulk append (canonical post-order layout).
 // leaves: (n_leaves,) field elements; out: (2n - popcount(n), 4) digests.
 void gp_mmr_from_leaves(const u64* leaves, size_t n_leaves, u64* out) {

@@ -58,6 +58,7 @@ def _load():
         lib.gp_hash_no_pad.argtypes = [u64p, ctypes.c_size_t, u64p]
         lib.gp_tree_level.argtypes = [u64p, u64p, ctypes.c_size_t]
         lib.gp_mmr_from_leaves.argtypes = [u64p, ctypes.c_size_t, u64p]
+        lib.gp_poseidon_gate_trace.argtypes = [u64p, u64p]
         rc = np.array(all_round_constants(), dtype=np.uint64)
         mds = np.array(mds_matrix(), dtype=np.uint64).reshape(-1)
         lib.gp_init(rc.ctypes.data_as(u64p), mds.ctypes.data_as(u64p))
@@ -104,6 +105,16 @@ def tree_level(level: np.ndarray) -> np.ndarray:
     n_pairs = level.shape[0] // 2
     out = np.empty((n_pairs, 4), dtype=np.uint64)
     lib.gp_tree_level(_ptr(level), _ptr(out), n_pairs)
+    return out
+
+
+def poseidon_gate_trace(inputs) -> np.ndarray:
+    """All 118 stored wire values of one PoseidonGate row (see gates.py):
+    [S1, S2, S3 (36), PR (22), S26..S29 (48), OUT (12)]."""
+    lib = _load()
+    arr = np.ascontiguousarray(inputs, dtype=np.uint64)
+    out = np.empty(118, dtype=np.uint64)
+    lib.gp_poseidon_gate_trace(_ptr(arr), _ptr(out))
     return out
 
 

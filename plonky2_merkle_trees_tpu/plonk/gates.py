@@ -317,6 +317,21 @@ class PoseidonGate(Gate):
         if any(v is None for v in state):
             raise ValueError(f"Poseidon gate at row {row}: inputs not set")
 
+        from .. import poseidon as _pm
+        nat = _pm._native()
+        if nat:
+            # native trace: ~100x the python walk (dominates witness gen of
+            # hash-heavy circuits: 6.3s -> ~0.1s for a degree-2^15 circuit)
+            tr = nat.poseidon_gate_trace(state)
+            k = 0
+            for base, cnt in ((_S1, 12), (_S2, 12), (_S3, 12),
+                              (_PR, PARTIAL_ROUNDS), (_S26, 12), (_S27, 12),
+                              (_S28, 12), (_S29, 12), (_OUT, 12)):
+                for i in range(cnt):
+                    setv(base + i, int(tr[k]))
+                    k += 1
+            return
+
         def sbox(x):
             x2 = x * x % P
             x3 = x2 * x % P
