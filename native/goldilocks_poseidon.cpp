@@ -177,6 +177,12 @@ void gp_poseidon_gate_trace(const u64* in, u64* out) {
     memcpy(outw, state, sizeof(state));
 }
 
+// Batched witness traces: (n, 12) inputs -> (n, 118) stored wires.
+void gp_poseidon_gate_trace_batch(const u64* in, u64* out, size_t n) {
+    for (size_t i = 0; i < n; i++)
+        gp_poseidon_gate_trace(in + 12 * i, out + 118 * i);
+}
+
 // Sequential MMR bulk append (canonical post-order layout).
 // leaves: (n_leaves,) field elements; out: (2n - popcount(n), 4) digests.
 void gp_mmr_from_leaves(const u64* leaves, size_t n_leaves, u64* out) {

@@ -59,6 +59,7 @@ def _load():
         lib.gp_tree_level.argtypes = [u64p, u64p, ctypes.c_size_t]
         lib.gp_mmr_from_leaves.argtypes = [u64p, ctypes.c_size_t, u64p]
         lib.gp_poseidon_gate_trace.argtypes = [u64p, u64p]
+        lib.gp_poseidon_gate_trace_batch.argtypes = [u64p, u64p, ctypes.c_size_t]
         rc = np.array(all_round_constants(), dtype=np.uint64)
         mds = np.array(mds_matrix(), dtype=np.uint64).reshape(-1)
         lib.gp_init(rc.ctypes.data_as(u64p), mds.ctypes.data_as(u64p))
@@ -115,6 +116,15 @@ def poseidon_gate_trace(inputs) -> np.ndarray:
     arr = np.ascontiguousarray(inputs, dtype=np.uint64)
     out = np.empty(118, dtype=np.uint64)
     lib.gp_poseidon_gate_trace(_ptr(arr), _ptr(out))
+    return out
+
+
+def poseidon_gate_trace_batch(inputs: np.ndarray) -> np.ndarray:
+    """(n, 12) gate inputs -> (n, 118) stored wires (see poseidon_gate_trace)."""
+    lib = _load()
+    arr = np.ascontiguousarray(inputs, dtype=np.uint64)
+    out = np.empty((arr.shape[0], 118), dtype=np.uint64)
+    lib.gp_poseidon_gate_trace_batch(_ptr(arr), _ptr(out), arr.shape[0])
     return out
 
 

@@ -68,6 +68,8 @@ class CircuitBuilder:
         self.rows: List[Tuple[object, Tuple[int, int]]] = []  # (gate, constants)
         self.uf = _UnionFind()
         self.generators: List = []     # callables (WitnessStore) -> bool (progress)
+        self.gen_descs: List = []      # structured twins of the closures, for the
+                                       # vectorised witness engine (prover.py)
         self.next_target = 0
         self.public_inputs: List[int] = []
         self._constant_cache = {}
@@ -132,6 +134,7 @@ class CircuitBuilder:
             w.set_wire(row, slot, value)
             return True
         self.generators.append(gen)
+        self.gen_descs.append(("const", row, slot, value))
         self._constant_cache[value] = t
         return t
 
@@ -169,6 +172,7 @@ class CircuitBuilder:
             w.set_target(out, (c0 * xv * yv + c1 * zv) % P)
             return True
         self.generators.append(gen)
+        self.gen_descs.append(("arith", x, y, z, out, c0, c1))
         return out
 
     def mul(self, a: int, b: int) -> int:
@@ -253,6 +257,7 @@ class CircuitBuilder:
                 w.set_target(inv, field.h_inverse(dv))
             return True
         self.generators.append(gen)
+        self.gen_descs.append(("eq", x, y, b, inv))
 
         # constraints: d * inv == 1 - b     and    d * b == 0
         d_inv = self.mul(d, inv)
@@ -284,6 +289,7 @@ class CircuitBuilder:
                           lambda c, v: w.set_wire(row, c, v), row, (0, 0))
             return True
         self.generators.append(gen)
+        self.gen_descs.append(("poseidon", row, tuple(inputs)))
         return outputs
 
     def hash_n_to_m_no_pad(self, inputs: List[int], num_outputs: int = 4) -> List[int]:

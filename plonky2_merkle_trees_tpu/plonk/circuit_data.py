@@ -49,8 +49,13 @@ class ProverOnlyCircuitData:
     generators: List
     public_inputs: List[int]               # targets (reference API parity)
     uf: object                             # union-find over targets/cells
-    uf_find: object                        # its find function
+    uf_find: object                        # O(1) root lookup (precomputed map)
     rows: List[Tuple[object, Tuple[int, int]]]
+    # prove-time fast paths, precomputed once at build:
+    wm_fill: List = dc_field(default_factory=list)   # [(root, col, row)] for the wire matrix
+    wm_cells: set = dc_field(default_factory=set)    # cells covered by wm_fill
+    vec_gen: object = None                           # vectorised-engine tables (dict) or None
+    root_map: dict = dc_field(default_factory=dict)  # node -> copy-class root
 
 
 @dataclass
@@ -92,6 +97,94 @@ def _domain_tags(n: int, k_is: List[int]) -> np.ndarray:
     for c, k in enumerate(k_is):
         tags[c] = field.mul(omega_pows, np.uint64(k))
     return tags
+
+
+def _build_vec_gen(builder, root_map, wm_fill, wm_cells, n, num_wires):
+    """Build the vectorised witness-engine tables (prover._run_generators'
+    fast path): every generator's operand nodes resolved to dense root ids,
+    grouped by kind so each fixpoint pass is a handful of array ops plus one
+    native batched Poseidon trace.  Returns None when any generator lacks a
+    structured descriptor (falls back to the closure walk)."""
+    from .gates import POSEIDON_TRACE_COLS
+    descs = getattr(builder, "gen_descs", [])
+    if len(descs) != len(builder.generators):
+        return None
+
+    root_id: Dict = {}
+
+    def rid(node):
+        root = root_map.get(node, node)
+        i = root_id.get(root)
+        if i is None:
+            i = len(root_id)
+            root_id[root] = i
+        return i
+
+    consts, arith, pos, eqs = [], [], [], []
+    for d in descs:
+        if d[0] == "const":
+            _, row, slot, value = d
+            consts.append((rid(("c", row, slot)), value))
+        elif d[0] == "arith":
+            _, x, y, z, out, c0, c1 = d
+            arith.append((rid(("t", x)), rid(("t", y)), rid(("t", z)),
+                          rid(("t", out)), c0, c1))
+        elif d[0] == "poseidon":
+            _, row, inputs = d
+            in_ids = [rid(("t", t)) for t in inputs]
+            out_ids = [rid(("c", row, col)) for col in POSEIDON_TRACE_COLS]
+            pos.append((in_ids, out_ids))
+        elif d[0] == "eq":
+            _, x, y, b, inv = d
+            eqs.append((rid(("t", x)), rid(("t", y)), rid(("t", b)),
+                        rid(("t", inv))))
+        else:
+            return None
+
+    # make sure every root referenced elsewhere has an id too
+    for root, _, _ in wm_fill:
+        i = root_id.get(root)
+        if i is None:
+            root_id[root] = len(root_id)
+    for t in builder.public_inputs:
+        rid(("t", t))
+
+    vg = {"root_id": root_id}
+    vg["const_ids"] = np.array([c[0] for c in consts], dtype=np.int64)
+    vg["const_vals"] = np.array([c[1] for c in consts], dtype=np.uint64)
+    vg["a_x"] = np.array([a[0] for a in arith], dtype=np.int64)
+    vg["a_y"] = np.array([a[1] for a in arith], dtype=np.int64)
+    vg["a_z"] = np.array([a[2] for a in arith], dtype=np.int64)
+    vg["a_o"] = np.array([a[3] for a in arith], dtype=np.int64)
+    vg["a_c0"] = np.array([a[4] for a in arith], dtype=np.uint64)
+    vg["a_c1"] = np.array([a[5] for a in arith], dtype=np.uint64)
+    vg["p_in"] = np.array([p[0] for p in pos], dtype=np.int64).reshape(-1, 12)
+    vg["p_out"] = np.array([p[1] for p in pos], dtype=np.int64).reshape(
+        -1, len(POSEIDON_TRACE_COLS))
+    vg["eqs"] = eqs
+
+    # vectorised wire-matrix fill: wm_fill plus descriptor-written cells that
+    # have no entry in the union-find (poseidon trace cells are written, not
+    # placed)
+    ids, cols, rows_ = [], [], []
+    for root, col, row in wm_fill:
+        ids.append(root_id[root])
+        cols.append(col)
+        rows_.append(row)
+    for d in descs:
+        if d[0] == "poseidon":
+            _, row, _inputs = d
+            if row < n:
+                for col in POSEIDON_TRACE_COLS:
+                    node = ("c", row, col)
+                    if col < num_wires and node not in wm_cells:
+                        ids.append(root_id[root_map.get(node, node)])
+                        cols.append(col)
+                        rows_.append(row)
+    vg["wm_ids"] = np.array(ids, dtype=np.int64)
+    vg["wm_cols"] = np.array(cols, dtype=np.int64)
+    vg["wm_rows"] = np.array(rows_, dtype=np.int64)
+    return vg
 
 
 def build_circuit_data(builder) -> CircuitData:
@@ -163,11 +256,41 @@ def build_circuit_data(builder) -> CircuitData:
         config=config, degree_bits=degree_bits, selectors=selectors,
         gate_constants=gate_constants, k_is=k_is,
         num_public_inputs=len(builder.public_inputs))
+
+    # Precompute prove-time fast paths: the union-find is final now, so (a)
+    # resolve every node's root ONCE (WitnessStore then does a single dict
+    # lookup instead of a path walk per access — the walks dominated witness
+    # generation), and (b) freeze the wire-matrix fill list.
+    root_map = {node: uf.find(node) for node in uf.parent}
+    uf_find = lambda node: root_map.get(node, node)  # noqa: E731
+    num_wires = config.num_wires
+    wm_fill = []
+    wm_cells = set()
+    # NB: union-find roots are not keys of ``parent`` (find() never inserts
+    # them), so walk root_map's values as well as its keys — a class whose
+    # root is a cell must still fill that cell.
+    for node, root in root_map.items():
+        if node[0] == "c":
+            _, row, col = node
+            if row < n and col < num_wires:
+                wm_fill.append((root, col, row))
+                wm_cells.add(node)
+    for root in set(root_map.values()):
+        if root[0] == "c" and root not in wm_cells:
+            _, row, col = root
+            if row < n and col < num_wires:
+                wm_fill.append((root, col, row))
+                wm_cells.add(root)
+
+    vec_gen = _build_vec_gen(builder, root_map, wm_fill, wm_cells, n, num_wires)
+
     prover_only = ProverOnlyCircuitData(
         constants_sigmas_batch=pre_batch, sigmas=sigmas,
         generators=list(builder.generators),
         public_inputs=list(builder.public_inputs),
-        uf=uf, uf_find=uf.find, rows=rows)
+        uf=uf, uf_find=uf_find, rows=rows,
+        wm_fill=wm_fill, wm_cells=wm_cells,
+        vec_gen=vec_gen, root_map=root_map)
     verifier_only = VerifierOnlyCircuitData(
         constants_sigmas_cap=cap, circuit_digest=circuit_digest)
     return CircuitData(common, prover_only, verifier_only)

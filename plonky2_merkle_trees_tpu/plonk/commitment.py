@@ -79,18 +79,26 @@ class MerkleCommitment:
         return self.open_many([index])[0]
 
     def open_many(self, indices) -> List[List[np.ndarray]]:
-        """Batched openings: per-level gathers so device-resident trees pay
-        ONE transfer per level instead of one round trip per (query, level).
-        Returns one sibling path (list of (4,) digests) per index."""
+        """Batched openings.  Device-resident trees pay ONE gather per level
+        on device and ONE host transfer total (the per-level gathers are
+        concatenated before the fetch).  Returns one sibling path (list of
+        (4,) digests) per index."""
         idxs = np.asarray([int(i) for i in indices], dtype=np.int64)
-        per_level = []
-        for level in self.levels[:-1]:
-            xp = field._xp(level)
-            sel = idxs ^ 1
-            sibs = np.asarray(level[sel] if xp is np else level[xp.asarray(sel)])
-            per_level.append(sibs)
-            idxs = idxs // 2
         n_q = len(indices)
+        inner = self.levels[:-1]
+        if not inner:
+            return [[] for _ in range(n_q)]
+        xp = field._xp(inner[0])
+        gathered = []
+        for level in inner:
+            sel = idxs ^ 1
+            gathered.append(level[sel] if xp is np else level[xp.asarray(sel)])
+            idxs = idxs // 2
+        if xp is np:
+            per_level = gathered
+        else:
+            flat = np.asarray(xp.concatenate(gathered, axis=0))   # one transfer
+            per_level = [flat[i * n_q:(i + 1) * n_q] for i in range(len(inner))]
         return [[lv[q] for lv in per_level] for q in range(n_q)]
 
     @staticmethod

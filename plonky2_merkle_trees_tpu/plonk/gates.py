@@ -131,6 +131,16 @@ _S28 = 106
 _S29 = 118
 POSEIDON_GATE_WIRES = 130
 
+# Column order of the 118 stored wires in a native witness trace
+# (native.poseidon_gate_trace / fill_row): S1 S2 S3, PR, S26..S29, OUT.
+POSEIDON_TRACE_COLS = (
+    [_S1 + i for i in range(12)] + [_S2 + i for i in range(12)]
+    + [_S3 + i for i in range(12)] + [_PR + k for k in range(PARTIAL_ROUNDS)]
+    + [_S26 + i for i in range(12)] + [_S27 + i for i in range(12)]
+    + [_S28 + i for i in range(12)] + [_S29 + i for i in range(12)]
+    + [_OUT + i for i in range(12)]
+)
+
 
 @lru_cache(maxsize=None)
 def _partial_round_affine():

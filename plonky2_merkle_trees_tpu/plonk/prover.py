@@ -15,18 +15,23 @@ from .field_ext import ExtensionField, ext_mul
 from .fri import coset_points, fri_prove
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
 from .vanishing import CHUNK, eval_combined
-from .witness import WitnessStore
+from .witness import VectorWitness, WitnessConflict, WitnessStore
 from . import ntt as nttmod
 from .circuit_data import _domain_tags
 
 P = field.P
 
 
-def _run_generators(circuit_data, pw) -> WitnessStore:
-    w = WitnessStore(circuit_data.prover_only.uf_find)
+def _run_generators(circuit_data, pw):
+    po = circuit_data.prover_only
+    if po.vec_gen is not None:
+        from .. import poseidon as _pm
+        if po.vec_gen["p_in"].shape[0] == 0 or _pm._native():
+            return _run_generators_vec(circuit_data, pw)
+    w = WitnessStore(po.uf_find)
     for t, v in pw.values.items():
         w.set_target(t, v)
-    pending = list(circuit_data.prover_only.generators)
+    pending = list(po.generators)
     while pending:
         remaining = [g for g in pending if not g(w)]
         if len(remaining) == len(pending):
@@ -36,18 +41,119 @@ def _run_generators(circuit_data, pw) -> WitnessStore:
     return w
 
 
-def _wire_matrix(circuit_data, w: WitnessStore) -> np.ndarray:
+def _scatter(w, ids: np.ndarray, vals: np.ndarray) -> None:
+    """Write vals into the dense store with plonky2 conflict semantics."""
+    known = w.K[ids]
+    if known.any():
+        bad = known & (w.V[ids] != vals)
+        if bad.any():
+            i = int(np.nonzero(bad)[0][0])
+            raise WitnessConflict(
+                f"witness root {int(ids[i])} set twice with different values: "
+                f"{int(w.V[ids[i]])} != {int(vals[i])}")
+    if ids.shape[0] > 1:
+        order = np.argsort(ids, kind="stable")
+        si, sv = ids[order], vals[order]
+        dup = si[1:] == si[:-1]
+        if dup.any() and bool((sv[1:][dup] != sv[:-1][dup]).any()):
+            raise WitnessConflict("witness root set twice within one "
+                                  "generation pass with different values")
+    w.V[ids] = vals
+    w.K[ids] = True
+
+
+def _run_generators_vec(circuit_data, pw) -> VectorWitness:
+    """Vectorised fixpoint: each pass resolves every currently-ready
+    generator with array ops (arithmetic rows) and one native batched
+    Poseidon trace — the closure walk costs seconds of python dict/union-find
+    time per prove on big circuits; this is milliseconds."""
+    from .. import native
+    po = circuit_data.prover_only
+    vg = po.vec_gen
+    w = VectorWitness(len(vg["root_id"]), vg["root_id"], po.root_map)
+    for t, v in pw.values.items():
+        w.set_target(t, v)
+
+    if vg["const_ids"].shape[0]:
+        _scatter(w, vg["const_ids"], vg["const_vals"])
+
+    a_x, a_y, a_z, a_o = vg["a_x"], vg["a_y"], vg["a_z"], vg["a_o"]
+    a_c0, a_c1 = vg["a_c0"], vg["a_c1"]
+    p_in, p_out = vg["p_in"], vg["p_out"]
+    pend_a = np.ones(a_x.shape[0], dtype=bool)
+    pend_p = np.ones(p_in.shape[0], dtype=bool)
+    pend_e = list(vg["eqs"])
+
+    with np.errstate(over="ignore"):
+        while True:
+            progress = False
+            if pend_a.any():
+                m = pend_a & w.K[a_x] & w.K[a_y] & w.K[a_z]
+                if m.any():
+                    out = field.add(
+                        field.mul(field.mul(a_c0[m], w.V[a_x[m]]), w.V[a_y[m]]),
+                        field.mul(a_c1[m], w.V[a_z[m]]))
+                    _scatter(w, a_o[m], out)
+                    pend_a &= ~m
+                    progress = True
+            if pend_p.any():
+                m = pend_p & w.K[p_in].all(axis=1)
+                if m.any():
+                    traces = native.poseidon_gate_trace_batch(w.V[p_in[m]])
+                    _scatter(w, p_out[m].reshape(-1), traces.reshape(-1))
+                    pend_p &= ~m
+                    progress = True
+            if pend_e:
+                still = []
+                for (xi, yi, bi, ii) in pend_e:
+                    if not (w.K[xi] and w.K[yi]):
+                        still.append((xi, yi, bi, ii))
+                        continue
+                    dv = (int(w.V[xi]) - int(w.V[yi])) % P
+                    _scatter(w, np.array([bi, ii], dtype=np.int64),
+                             np.array([1 if dv == 0 else 0,
+                                       0 if dv == 0 else field.h_inverse(dv)],
+                                      dtype=np.uint64))
+                    progress = True
+                pend_e = still
+            n_left = int(pend_a.sum()) + int(pend_p.sum()) + len(pend_e)
+            if n_left == 0:
+                return w
+            if not progress:
+                raise RuntimeError(f"witness generation stuck: {n_left} "
+                                   "generators cannot make progress")
+
+
+def _wire_matrix(circuit_data, w) -> np.ndarray:
     po = circuit_data.prover_only
     n = circuit_data.common.degree
     num_wires = circuit_data.common.config.num_wires
     wires = np.zeros((num_wires, n), dtype=np.uint64)
-    cells = {node for node in po.uf.parent if node[0] == "c"}
-    cells.update(node for node in w._values if node[0] == "c")
-    for node in cells:
-        _, row, col = node
-        if row < n and col < num_wires:
-            v = w.get_node(node)
-            if v is not None:
+    if isinstance(w, VectorWitness):
+        vg = po.vec_gen
+        ids = vg["wm_ids"]
+        vals = np.where(w.K[ids], w.V[ids], np.uint64(0))
+        wires[vg["wm_cols"], vg["wm_rows"]] = vals
+        # side-dict cells (floating roots) — rare
+        for root, v in w._side.items():
+            if isinstance(root, tuple) and root[0] == "c":
+                _, row, col = root
+                if row < n and col < num_wires:
+                    wires[col, row] = v
+        return wires
+    vals = w._values
+    get = vals.get
+    # bulk of the matrix: the build-time-frozen (root, col, row) fill list
+    for root, col, row in po.wm_fill:
+        v = get(root)
+        if v is not None:
+            wires[col, row] = v
+    # cells first materialised during generation (their own roots)
+    wm_cells = po.wm_cells
+    for node, v in vals.items():
+        if node[0] == "c" and node not in wm_cells:
+            _, row, col = node
+            if row < n and col < num_wires:
                 wires[col, row] = v
     return wires
 

@@ -54,6 +54,64 @@ class PartialWitness:
         set_verifier_data_target(self, vdata_target, verifier_only)
 
 
+class VectorWitness:
+    """Dense witness store for the vectorised generator engine: values live
+    in a numpy array indexed by build-time root id (witness generation and
+    the wire-matrix fill then run as array ops instead of per-cell python).
+    Nodes whose roots were never referenced at build time (floating virtual
+    targets) fall back to a side dict."""
+
+    __slots__ = ("V", "K", "_root_id", "_root_map", "_side")
+
+    def __init__(self, n_roots: int, root_id: dict, root_map: dict):
+        import numpy as np
+        self.V = np.zeros(n_roots, dtype=np.uint64)
+        self.K = np.zeros(n_roots, dtype=bool)
+        self._root_id = root_id
+        self._root_map = root_map
+        self._side = {}
+
+    def _resolve(self, node):
+        root = self._root_map.get(node, node)
+        return self._root_id.get(root), root
+
+    def get_node(self, node):
+        i, root = self._resolve(node)
+        if i is None:
+            return self._side.get(root)
+        return int(self.V[i]) if self.K[i] else None
+
+    def set_node(self, node, value: int):
+        value = int(value) % field.P
+        i, root = self._resolve(node)
+        if i is None:
+            old = self._side.get(root)
+            if old is not None and old != value:
+                raise WitnessConflict(
+                    f"witness cell {node} set twice with different values: "
+                    f"{old} != {value}")
+            self._side[root] = value
+        else:
+            if self.K[i] and int(self.V[i]) != value:
+                raise WitnessConflict(
+                    f"witness cell {node} set twice with different values: "
+                    f"{int(self.V[i])} != {value}")
+            self.V[i] = value
+            self.K[i] = True
+
+    def get_target(self, t: int):
+        return self.get_node(("t", t))
+
+    def set_target(self, t: int, value: int):
+        self.set_node(("t", t), value)
+
+    def get_wire(self, row: int, col: int):
+        return self.get_node(("c", row, col))
+
+    def set_wire(self, row: int, col: int, value: int):
+        self.set_node(("c", row, col), value)
+
+
 class WitnessStore:
     """Copy-class-rooted value store used during generation."""
 
