@@ -152,3 +152,33 @@ def test_proof_json_roundtrip(cube_circuit):
     import json
     restored = proof_from_json(json.loads(json.dumps(blob)))
     data.verify(restored)
+
+
+def test_vec_engine_matches_legacy_generators():
+    """The vectorised witness engine and the legacy closure walk must fill
+    the identical wire matrix on a Poseidon-bearing circuit."""
+    import numpy as np
+    from plonky2_merkle_trees_tpu.plonk import prover as hp
+    from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig
+
+    builder = CircuitBuilder(CircuitConfig.test_config())
+    x = builder.add_virtual_target()
+    h = builder.hash_or_noop([x, x, x, x, x])   # forces a real permutation
+    eq = builder.is_equal(h.elements[0], h.elements[1])
+    builder.register_public_inputs(h.elements + [eq.target])
+    data = builder.build()
+
+    pw = PartialWitness()
+    pw.set_target(x, 7)
+    w_vec = hp._run_generators(data, pw)
+    assert type(w_vec).__name__ == "VectorWitness"
+    m_vec = hp._wire_matrix(data, w_vec)
+
+    vg = data.prover_only.vec_gen
+    data.prover_only.vec_gen = None
+    w_leg = hp._run_generators(data, pw)
+    data.prover_only.vec_gen = vg
+    m_leg = hp._wire_matrix(data, w_leg)
+    assert np.array_equal(m_vec, m_leg)
+    for t in data.prover_only.public_inputs:
+        assert w_vec.get_target(t) == w_leg.get_target(t)
