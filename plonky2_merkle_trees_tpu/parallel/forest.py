@@ -15,7 +15,6 @@ MMR are exactly a sharded forest's roots, merkle_mountain_ranges.rs:179-200).
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import poseidon

@@ -11,7 +11,7 @@ constraints tracked with a union-find over targets and wire cells and
 compiled into plonk sigma tables at build time.
 """
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -23,7 +23,7 @@ from .gates import (
     GATE_REGISTRY, GATE_INDEX, NUM_GATE_CONSTANTS,
     ArithmeticGate, ConstantGate, NoopGate, PoseidonGate, PublicInputGate,
 )
-from .witness import WitnessConflict, WitnessStore
+from .witness import WitnessStore
 
 P = field.P
 

@@ -121,6 +121,8 @@ def _build_vec_gen(builder, root_map, wm_fill, wm_cells, n, num_wires):
         return i
 
     consts, arith, pos, eqs = [], [], [], []
+    invs, ext_invs = [], []
+    splits: Dict = {}
     for d in descs:
         if d[0] == "const":
             _, row, slot, value = d
@@ -138,6 +140,17 @@ def _build_vec_gen(builder, root_map, wm_fill, wm_cells, n, num_wires):
             _, x, y, b, inv = d
             eqs.append((rid(("t", x)), rid(("t", y)), rid(("t", b)),
                         rid(("t", inv))))
+        elif d[0] == "inv":
+            _, t, out = d
+            invs.append((rid(("t", t)), rid(("t", out))))
+        elif d[0] == "ext_inv":
+            _, a0, a1, i0, i1 = d
+            ext_invs.append((rid(("t", a0)), rid(("t", a1)),
+                             rid(("t", i0)), rid(("t", i1))))
+        elif d[0] == "split":
+            _, t, bits = d
+            splits.setdefault(len(bits), []).append(
+                (rid(("t", t)), tuple(rid(("t", b)) for b in bits)))
         else:
             return None
 
@@ -162,6 +175,17 @@ def _build_vec_gen(builder, root_map, wm_fill, wm_cells, n, num_wires):
     vg["p_out"] = np.array([p[1] for p in pos], dtype=np.int64).reshape(
         -1, len(POSEIDON_TRACE_COLS))
     vg["eqs"] = eqs
+    vg["inv_t"] = np.array([i[0] for i in invs], dtype=np.int64)
+    vg["inv_o"] = np.array([i[1] for i in invs], dtype=np.int64)
+    vg["ei_a"] = np.array([[e[0], e[1]] for e in ext_invs],
+                          dtype=np.int64).reshape(-1, 2)
+    vg["ei_o"] = np.array([[e[2], e[3]] for e in ext_invs],
+                          dtype=np.int64).reshape(-1, 2)
+    vg["splits"] = {
+        nb: (np.array([s[0] for s in group], dtype=np.int64),
+             np.array([s[1] for s in group], dtype=np.int64).reshape(-1, nb))
+        for nb, group in splits.items()
+    }
 
     # vectorised wire-matrix fill: wm_fill plus descriptor-written cells that
     # have no entry in the union-find (poseidon trace cells are written, not

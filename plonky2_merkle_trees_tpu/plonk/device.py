@@ -38,7 +38,7 @@ import numpy as np
 from .. import field, poseidon
 from ..poseidon_constants import RATE, WIDTH
 from .challenger import Challenger
-from .commitment import MerkleCommitment, PolynomialBatch, hash_rows
+from .commitment import MerkleCommitment, PolynomialBatch
 from .field_ext import ExtensionField, ext_mul, W
 from .fri import (FriInitialOpening, FriProof, FriQueryRound, FriQueryStep,
                   check_pow, coset_points)
@@ -86,14 +86,50 @@ def _jnp():
 # Jitted stages (module-level cache; jax.jit re-specialises per shape)
 # ---------------------------------------------------------------------------
 
+_PALLAS_MIN_ROWS = 1 << 14
+
+
+def _permute_device(state):
+    """Poseidon permutation inside a traced stage: the fused Pallas kernel
+    (34M hashes/s) for large batches on a real TPU backend, the XLA-u64 path
+    (4.95M/s) otherwise.  Both are bit-exact; only the big levels go through
+    Pallas so a tree adds only a handful of kernel shapes."""
+    import jax
+    if jax.default_backend() in ("tpu", "axon") and \
+            state.shape[0] >= _PALLAS_MIN_ROWS:
+        from ..ops.poseidon_pallas import permute_pallas
+        return permute_pallas(state)
+    return poseidon.permute(state)
+
+
+def _hash_rows_device(matrix):
+    """hash_or_noop over rows of (n, m) — commitment.hash_rows with the
+    device permutation."""
+    jnp = _jnp()
+    n, m = int(matrix.shape[0]), int(matrix.shape[1])
+    if m <= 4:
+        out = jnp.zeros((n, 4), dtype=jnp.uint64)
+        return out.at[:, :m].set(matrix)
+    state = jnp.zeros((n, WIDTH), dtype=jnp.uint64)
+    for start in range(0, m, RATE):
+        chunk = matrix[:, start:start + RATE]
+        state = state.at[:, :int(chunk.shape[1])].set(chunk)
+        state = _permute_device(state)
+    return state[:, :4]
+
+
 def _merkle_levels(leaves_matrix, cap_height: int):
     """hash_or_noop each row, then pairwise-reduce to a 2^cap_height cap.
     Returns the digest levels (leaf level first, cap last)."""
-    level = hash_rows(leaves_matrix)
+    level = _hash_rows_device(leaves_matrix)
     levels = [level]
+    jnp = _jnp()
     while level.shape[0] > (1 << cap_height):
         pairs = level.reshape(-1, 2, 4)
-        level = poseidon.two_to_one(pairs[:, 0, :], pairs[:, 1, :])
+        state = jnp.concatenate(
+            [pairs[:, 0, :], pairs[:, 1, :],
+             jnp.zeros((pairs.shape[0], 4), dtype=jnp.uint64)], axis=-1)
+        level = _permute_device(state)[:, :4]
         levels.append(level)
     return levels
 
@@ -369,7 +405,7 @@ def _stage_pow():
         nonces = start + jnp.arange(_POW_BATCH, dtype=jnp.uint64)
         states = jnp.broadcast_to(template, (_POW_BATCH, WIDTH))
         states = states.at[:, nonce_lane].set(nonces)
-        out = poseidon.permute(states)[:, RATE - 1]
+        out = _permute_device(states)[:, RATE - 1]
         hits = out < threshold
         return jnp.any(hits), jnp.argmax(hits)
 
@@ -626,13 +662,44 @@ def _fri_prove_device(f_vals, oracles, challenger: Challenger, fri_config,
                                            fri_config.proof_of_work_bits)
     assert check_pow(challenger, pow_witness, fri_config.proof_of_work_bits)
 
-    # queries (same batched gathers as fri.fri_prove)
+    # queries: every gather (oracle leaf rows, oracle tree paths, layer
+    # cosets, layer tree paths) is queued on device first and fetched in ONE
+    # transfer — per-tree syncs cost ~0.25s each through the tunnel.
     n_q = fri_config.num_query_rounds
     indices = [challenger.get_challenge() % m for _ in range(n_q)]
-    oracle_rows = [oracle.open_lde_rows(indices) for oracle in oracles]
+    idx_arr = jnp.asarray(np.asarray(indices, dtype=np.int64))
 
-    layer_cosets: List[np.ndarray] = []
-    layer_paths: List[List[List[np.ndarray]]] = []
+    pieces = []          # flat (k, ...) device arrays to fetch together
+
+    def queue_tree_paths(tree, rows_np):
+        """Queue one (n_levels * n_q, 4) gather for a tree's sibling paths."""
+        inner = tree.levels[:-1]
+        sel = rows_np.copy()
+        gathered = []
+        for level in inner:
+            xp = field._xp(level)
+            s = sel ^ 1
+            gathered.append(level[s] if xp is np
+                            else level[xp.asarray(s)])
+            sel = sel // 2
+        if not inner:
+            pieces.append(np.zeros((0, 4), dtype=np.uint64))
+            return 0
+        xp = field._xp(inner[0])
+        pieces.append(xp.concatenate(gathered, axis=0) if xp is not np
+                      else np.concatenate(gathered, axis=0))
+        return len(inner)
+
+    # oracle leaf rows + paths
+    oracle_meta = []
+    for oracle in oracles:
+        pieces.append(oracle.lde_values[:, idx_arr].T)         # (n_q, polys)
+        n_lv = queue_tree_paths(oracle.tree,
+                                np.asarray(indices, dtype=np.int64))
+        oracle_meta.append(n_lv)
+
+    # fri layer cosets + paths
+    layer_meta = []
     idxs = list(indices)
     for tree, a_bits, values in zip(trees, layer_arities, layer_values):
         m_layer = int(values.shape[0])
@@ -640,10 +707,37 @@ def _fri_prove_device(f_vals, oracles, challenger: Challenger, fri_config,
         rows = [i % m_next for i in idxs]
         gidx = np.asarray(rows, dtype=np.int64)[:, None] + \
             (np.arange(1 << a_bits, dtype=np.int64) * m_next)[None, :]
-        layer_cosets.append(np.asarray(values[jnp.asarray(gidx.reshape(-1))])
-                            .reshape(n_q, 1 << a_bits, 2))
-        layer_paths.append(tree.open_many(rows))
+        pieces.append(values[jnp.asarray(gidx.reshape(-1))])
+        n_lv = queue_tree_paths(tree, np.asarray(rows, dtype=np.int64))
+        layer_meta.append((a_bits, n_lv))
         idxs = rows
+
+    # ONE transfer: flatten every queued piece into a single device array
+    flat = np.asarray(jnp.concatenate(
+        [jnp.asarray(p).reshape(-1).astype(jnp.uint64) for p in pieces]))
+    fetched = []
+    off = 0
+    for p in pieces:
+        size = int(np.prod(p.shape))
+        fetched.append(flat[off:off + size].reshape(p.shape))
+        off += size
+
+    k = 0
+    oracle_rows = []
+    for n_lv in oracle_meta:
+        rows_mat = fetched[k]                     # (n_q, polys)
+        paths_flat = fetched[k + 1]               # (n_lv * n_q, 4)
+        paths = [[paths_flat[lv * n_q + q] for lv in range(n_lv)]
+                 for q in range(n_q)]
+        oracle_rows.append((list(rows_mat), paths))
+        k += 2
+    layer_cosets, layer_paths = [], []
+    for a_bits, n_lv in layer_meta:
+        layer_cosets.append(fetched[k].reshape(n_q, 1 << a_bits, 2))
+        paths_flat = fetched[k + 1]
+        layer_paths.append([[paths_flat[lv * n_q + q] for lv in range(n_lv)]
+                            for q in range(n_q)])
+        k += 2
 
     query_rounds = []
     for q, index in enumerate(indices):

@@ -13,7 +13,7 @@ plonky2's FriProof (SURVEY.md §2.2 "FRI folding rounds").
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

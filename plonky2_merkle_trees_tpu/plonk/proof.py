@@ -1,6 +1,6 @@
 """Proof objects (plonky2 ``ProofWithPublicInputs`` analog) + serialization."""
 
-from dataclasses import dataclass, asdict
+from dataclasses import dataclass
 from typing import List
 
 import numpy as np

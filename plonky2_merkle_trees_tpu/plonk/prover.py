@@ -80,8 +80,14 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
     a_x, a_y, a_z, a_o = vg["a_x"], vg["a_y"], vg["a_z"], vg["a_o"]
     a_c0, a_c1 = vg["a_c0"], vg["a_c1"]
     p_in, p_out = vg["p_in"], vg["p_out"]
+    inv_t, inv_o = vg["inv_t"], vg["inv_o"]
+    ei_a, ei_o = vg["ei_a"], vg["ei_o"]
+    splits = vg["splits"]
     pend_a = np.ones(a_x.shape[0], dtype=bool)
     pend_p = np.ones(p_in.shape[0], dtype=bool)
+    pend_i = np.ones(inv_t.shape[0], dtype=bool)
+    pend_x = np.ones(ei_a.shape[0], dtype=bool)
+    pend_s = {nb: np.ones(g[0].shape[0], dtype=bool) for nb, g in splits.items()}
     pend_e = list(vg["eqs"])
 
     with np.errstate(over="ignore"):
@@ -103,6 +109,38 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
                     _scatter(w, p_out[m].reshape(-1), traces.reshape(-1))
                     pend_p &= ~m
                     progress = True
+            if pend_i.any():
+                m = pend_i & w.K[inv_t]
+                if m.any():
+                    _scatter(w, inv_o[m], field.inv_vec(w.V[inv_t[m]]))
+                    pend_i &= ~m
+                    progress = True
+            if pend_x.any():
+                m = pend_x & w.K[ei_a].all(axis=1)
+                if m.any():
+                    a0 = w.V[ei_a[m, 0]]
+                    a1 = w.V[ei_a[m, 1]]
+                    from .field_ext import W as _W
+                    norm = field.sub(field.mul(a0, a0),
+                                     field.mul_small(field.mul(a1, a1), _W))
+                    inv_n = field.inv_vec(norm)
+                    out = np.stack([field.mul(a0, inv_n),
+                                    field.mul(field.neg(a1), inv_n)], axis=-1)
+                    _scatter(w, ei_o[m].reshape(-1), out.reshape(-1))
+                    pend_x &= ~m
+                    progress = True
+            for nb, (s_t, s_bits) in splits.items():
+                pend = pend_s[nb]
+                if not pend.any():
+                    continue
+                m = pend & w.K[s_t]
+                if m.any():
+                    vals = w.V[s_t[m]]
+                    bits = (vals[:, None] >> np.arange(nb, dtype=np.uint64)
+                            ) & np.uint64(1)
+                    _scatter(w, s_bits[m].reshape(-1), bits.reshape(-1))
+                    pend_s[nb] = pend & ~m
+                    progress = True
             if pend_e:
                 still = []
                 for (xi, yi, bi, ii) in pend_e:
@@ -116,7 +154,9 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
                                       dtype=np.uint64))
                     progress = True
                 pend_e = still
-            n_left = int(pend_a.sum()) + int(pend_p.sum()) + len(pend_e)
+            n_left = (int(pend_a.sum()) + int(pend_p.sum()) + len(pend_e)
+                      + int(pend_i.sum()) + int(pend_x.sum())
+                      + sum(int(p.sum()) for p in pend_s.values()))
             if n_left == 0:
                 return w
             if not progress:

@@ -107,6 +107,7 @@ class CircuitExtAlgebra:
             w.set_target(i1_t, e.a1)
             return True
         self.b.generators.append(gen)
+        self.b.gen_descs.append(("ext_inv", a0_t, a1_t, i0_t, i1_t))
         prod = self.mul(a, inv)
         self.connect(prod, self.constant(1))
         return inv
@@ -140,6 +141,7 @@ def split_le(builder: CircuitBuilder, t: int, n_bits: int = 64,
             w.set_target(bt, (v >> i) & 1)
         return True
     builder.generators.append(gen)
+    builder.gen_descs.append(("split", t, tuple(b.target for b in bits)))
 
     for b in bits:
         builder.assert_bool_target(b.target)
@@ -670,6 +672,7 @@ def _base_inverse(builder: CircuitBuilder, t: int) -> int:
         w.set_target(inv, field.h_inverse(v))
         return True
     builder.generators.append(gen)
+    builder.gen_descs.append(("inv", t, inv))
     prod = builder.mul(t, inv)
     builder.connect(prod, builder.one())
     return inv

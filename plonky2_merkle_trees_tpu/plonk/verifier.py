@@ -5,7 +5,6 @@ returns bool, CircuitData.verify wraps it with the reference's panic
 behaviour.
 """
 
-from typing import List
 
 import numpy as np
 
