@@ -57,11 +57,12 @@ def _check_peaks_and_bag(builder: CircuitBuilder, next_hash: HashOutTarget,
 
 
 def verify_mmr_proof_circuit(nr_merkle_proof_elms: int, nr_peaks: int,
-                             strict_equal: bool = False
+                             strict_equal: bool = False,
+                             config: CircuitConfig = None
                              ) -> Tuple[CircuitData, int,
                                         List[Tuple[HashOutTarget, BoolTarget]],
                                         List[HashOutTarget]]:
-    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    builder = CircuitBuilder(config or CircuitConfig.standard_recursion_config())
     proof_targets: List[Tuple[HashOutTarget, BoolTarget]] = []
 
     leaf_to_prove = builder.add_virtual_target()
