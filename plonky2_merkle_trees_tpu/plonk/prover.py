@@ -77,69 +77,77 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
     if vg["const_ids"].shape[0]:
         _scatter(w, vg["const_ids"], vg["const_vals"])
 
+    # Pending sets are kept as shrinking INDEX arrays — each pass touches
+    # only unresolved generators, so total work is O(sum of per-pass pending)
+    # instead of O(passes x all generators).
     a_x, a_y, a_z, a_o = vg["a_x"], vg["a_y"], vg["a_z"], vg["a_o"]
     a_c0, a_c1 = vg["a_c0"], vg["a_c1"]
     p_in, p_out = vg["p_in"], vg["p_out"]
     inv_t, inv_o = vg["inv_t"], vg["inv_o"]
     ei_a, ei_o = vg["ei_a"], vg["ei_o"]
     splits = vg["splits"]
-    pend_a = np.ones(a_x.shape[0], dtype=bool)
-    pend_p = np.ones(p_in.shape[0], dtype=bool)
-    pend_i = np.ones(inv_t.shape[0], dtype=bool)
-    pend_x = np.ones(ei_a.shape[0], dtype=bool)
-    pend_s = {nb: np.ones(g[0].shape[0], dtype=bool) for nb, g in splits.items()}
+    idx_a = np.arange(a_x.shape[0])
+    idx_p = np.arange(p_in.shape[0])
+    idx_i = np.arange(inv_t.shape[0])
+    idx_x = np.arange(ei_a.shape[0])
+    idx_s = {nb: np.arange(g[0].shape[0]) for nb, g in splits.items()}
     pend_e = list(vg["eqs"])
 
     with np.errstate(over="ignore"):
         while True:
             progress = False
-            if pend_a.any():
-                m = pend_a & w.K[a_x] & w.K[a_y] & w.K[a_z]
-                if m.any():
+            if idx_a.size:
+                ready = w.K[a_x[idx_a]] & w.K[a_y[idx_a]] & w.K[a_z[idx_a]]
+                if ready.any():
+                    j = idx_a[ready]
                     out = field.add(
-                        field.mul(field.mul(a_c0[m], w.V[a_x[m]]), w.V[a_y[m]]),
-                        field.mul(a_c1[m], w.V[a_z[m]]))
-                    _scatter(w, a_o[m], out)
-                    pend_a &= ~m
+                        field.mul(field.mul(a_c0[j], w.V[a_x[j]]), w.V[a_y[j]]),
+                        field.mul(a_c1[j], w.V[a_z[j]]))
+                    _scatter(w, a_o[j], out)
+                    idx_a = idx_a[~ready]
                     progress = True
-            if pend_p.any():
-                m = pend_p & w.K[p_in].all(axis=1)
-                if m.any():
-                    traces = native.poseidon_gate_trace_batch(w.V[p_in[m]])
-                    _scatter(w, p_out[m].reshape(-1), traces.reshape(-1))
-                    pend_p &= ~m
+            if idx_p.size:
+                ready = w.K[p_in[idx_p]].all(axis=1)
+                if ready.any():
+                    j = idx_p[ready]
+                    traces = native.poseidon_gate_trace_batch(w.V[p_in[j]])
+                    _scatter(w, p_out[j].reshape(-1), traces.reshape(-1))
+                    idx_p = idx_p[~ready]
                     progress = True
-            if pend_i.any():
-                m = pend_i & w.K[inv_t]
-                if m.any():
-                    _scatter(w, inv_o[m], field.inv_vec(w.V[inv_t[m]]))
-                    pend_i &= ~m
+            if idx_i.size:
+                ready = w.K[inv_t[idx_i]]
+                if ready.any():
+                    j = idx_i[ready]
+                    _scatter(w, inv_o[j], field.inv_vec(w.V[inv_t[j]]))
+                    idx_i = idx_i[~ready]
                     progress = True
-            if pend_x.any():
-                m = pend_x & w.K[ei_a].all(axis=1)
-                if m.any():
-                    a0 = w.V[ei_a[m, 0]]
-                    a1 = w.V[ei_a[m, 1]]
+            if idx_x.size:
+                ready = w.K[ei_a[idx_x]].all(axis=1)
+                if ready.any():
+                    j = idx_x[ready]
+                    a0 = w.V[ei_a[j, 0]]
+                    a1 = w.V[ei_a[j, 1]]
                     from .field_ext import W as _W
                     norm = field.sub(field.mul(a0, a0),
                                      field.mul_small(field.mul(a1, a1), _W))
                     inv_n = field.inv_vec(norm)
                     out = np.stack([field.mul(a0, inv_n),
                                     field.mul(field.neg(a1), inv_n)], axis=-1)
-                    _scatter(w, ei_o[m].reshape(-1), out.reshape(-1))
-                    pend_x &= ~m
+                    _scatter(w, ei_o[j].reshape(-1), out.reshape(-1))
+                    idx_x = idx_x[~ready]
                     progress = True
             for nb, (s_t, s_bits) in splits.items():
-                pend = pend_s[nb]
-                if not pend.any():
+                idx = idx_s[nb]
+                if not idx.size:
                     continue
-                m = pend & w.K[s_t]
-                if m.any():
-                    vals = w.V[s_t[m]]
+                ready = w.K[s_t[idx]]
+                if ready.any():
+                    j = idx[ready]
+                    vals = w.V[s_t[j]]
                     bits = (vals[:, None] >> np.arange(nb, dtype=np.uint64)
                             ) & np.uint64(1)
-                    _scatter(w, s_bits[m].reshape(-1), bits.reshape(-1))
-                    pend_s[nb] = pend & ~m
+                    _scatter(w, s_bits[j].reshape(-1), bits.reshape(-1))
+                    idx_s[nb] = idx[~ready]
                     progress = True
             if pend_e:
                 still = []
@@ -154,9 +162,8 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
                                       dtype=np.uint64))
                     progress = True
                 pend_e = still
-            n_left = (int(pend_a.sum()) + int(pend_p.sum()) + len(pend_e)
-                      + int(pend_i.sum()) + int(pend_x.sum())
-                      + sum(int(p.sum()) for p in pend_s.values()))
+            n_left = (idx_a.size + idx_p.size + idx_i.size + idx_x.size
+                      + len(pend_e) + sum(i.size for i in idx_s.values()))
             if n_left == 0:
                 return w
             if not progress:

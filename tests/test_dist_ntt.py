@@ -24,3 +24,16 @@ def test_dist_ntt_rejects_non_power_of_two_devices():
         pytest.skip("needs 6 devices")
     with pytest.raises(ValueError):
         dist_ntt(np.zeros(64, dtype=np.uint64), make_mesh(6))
+
+
+def test_scaling_report_structure():
+    """The weak-scaling harness runs on the virtual mesh and reports the
+    north-star fields (real efficiency numbers require real chips: the 8
+    virtual CPU devices share one physical core)."""
+    from plonky2_merkle_trees_tpu.parallel.scaling import scaling_report
+    rows = scaling_report(log_leaves_per_device=8, device_counts=[1, 2], iters=1)
+    assert [r["devices"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["hashes_per_sec"] > 0
+        assert 0 < r["scaling_efficiency"]
+    assert rows[0]["scaling_efficiency"] == 1.0
