@@ -182,7 +182,10 @@ def _stage_ratios(num_chunks: int):
 
 
 @lru_cache(maxsize=None)
-def _stage_zsp(num_chunks: int):
+def _stage_zsp(num_chunks: int, rate_bits: int, cap_height: int):
+    """Permutation-argument rows AND their commitment in one program (no
+    challenger interaction between them — one executable load instead of
+    two)."""
     import jax
 
     def fn(z_rows, ratios):
@@ -195,14 +198,21 @@ def _stage_zsp(num_chunks: int):
             for j in range(num_chunks - 1):
                 prod = field.mul(prod, ratios[c, j])
                 rows.append(prod)
-        return jnp.stack(rows)
+        zsp_values = jnp.stack(rows)
+        coeffs = nttmod.intt(zsp_values)
+        lde = nttmod.coset_lde(coeffs, rate_bits)
+        levels = _merkle_levels(lde.T, cap_height)
+        return coeffs, lde, levels
 
     return jax.jit(fn)
 
 
 @lru_cache(maxsize=None)
 def _stage_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
-                    k_is: tuple, degree_bits: int, rate_bits: int):
+                    k_is: tuple, degree_bits: int, rate_bits: int,
+                    cap_height: int):
+    """Quotient evaluation, intt, AND the quotient commitment in one
+    program (no challenger interaction between them)."""
     import jax
     num_chunks = r_wires // CHUNK
     n = 1 << degree_bits
@@ -238,7 +248,10 @@ def _stage_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
             t_coeffs = nttmod.coset_intt(field.mul(combined[c], zh_inv))
             for i in range(m // n):
                 chunks.append(t_coeffs[i * n:(i + 1) * n])
-        return jnp.stack(chunks)
+        q_coeffs = jnp.stack(chunks)
+        lde = nttmod.coset_lde(q_coeffs, rate_bits)
+        levels = _merkle_levels(lde.T, cap_height)
+        return q_coeffs, lde, levels
 
     return jax.jit(fn)
 
@@ -451,6 +464,13 @@ class DeviceBatch:
     def open_lde_rows(self, indices):
         return PolynomialBatch.open_lde_rows(self, indices)
 
+    def eval_at_ext(self, zeta):
+        """Host-side evaluation — lets the numpy prover consume a
+        device-built oracle (e.g. a circuit built in device mode, proved
+        with PMT_PROVER_DEVICE=0)."""
+        from .commitment import eval_coeffs_at_ext
+        return eval_coeffs_at_ext(np.asarray(self.coeffs), zeta)
+
 
 def _upload_batch(batch, cache_attr: str = "_device"):
     """Host PolynomialBatch -> DeviceBatch (cached on the object). The tree
@@ -540,8 +560,8 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
             z_rows[c, r] = acc
             acc = acc * int(ratio_all_np[c, r]) % P
         assert acc == 1, "permutation product does not close"
-    zsp_values = _stage_zsp(num_chunks)(jnp.asarray(z_rows), ratios)
-    z_coeffs, z_lde, z_levels = _stage_batch(rate_bits, cap_height, False)(zsp_values)
+    z_coeffs, z_lde, z_levels = _stage_zsp(num_chunks, rate_bits, cap_height)(
+        jnp.asarray(z_rows), ratios)
     zsp_batch = DeviceBatch(z_coeffs, z_lde, z_levels, cap_height)
     ch.observe_cap(zsp_batch.cap)
     alphas = ch.get_n_challenges(nc)
@@ -549,15 +569,14 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
     # 5. quotient
     cs_dev = _upload_batch(po.constants_sigmas_batch)
     num_sel = common.selectors.shape[0]
-    q_coeff_rows = _stage_quotient(
+    q_coeffs, q_lde, q_levels = _stage_quotient(
         num_sel, r_wires, config.num_wires, nc, tuple(common.k_is),
-        common.degree_bits, rate_bits)(
+        common.degree_bits, rate_bits, cap_height)(
             cs_dev.lde_values, w_lde, z_lde, dev_cache["xs"],
             jnp.asarray(np.array(betas, dtype=np.uint64)),
             jnp.asarray(np.array(gammas, dtype=np.uint64)),
             jnp.asarray(np.array(alphas, dtype=np.uint64)),
             jnp.asarray(pi_hash))
-    q_coeffs, q_lde, q_levels = _stage_batch(rate_bits, cap_height, True)(q_coeff_rows)
     q_batch = DeviceBatch(q_coeffs, q_lde, q_levels, cap_height)
     ch.observe_cap(q_batch.cap)
     zeta = ch.get_extension_challenge()

@@ -317,7 +317,8 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
     # 5. quotient polynomials
     xs = coset_points(common.lde_bits, field.MULTIPLICATIVE_GROUP_GENERATOR)
     alg = BatchAlgebra(np, m)
-    pre_lde = po.constants_sigmas_batch.lde_values
+    # np.asarray: the constants/sigmas oracle may be device-built
+    pre_lde = np.asarray(po.constants_sigmas_batch.lde_values)
     num_sel = common.selectors.shape[0]
     sel_rows = [pre_lde[i] for i in range(num_sel)]
     const_rows = [pre_lde[num_sel + i] for i in range(2)]
