@@ -28,11 +28,14 @@ _cache_dir = os.environ.get(
     os.path.join(os.path.expanduser("~"), ".cache", "plonky2_merkle_trees_tpu",
                  "jax_cache"))
 if _cache_dir and _cache_dir != "0":
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_enable_compilation_cache", True)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_enable_compilation_cache", True)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except OSError:
+        pass  # read-only HOME etc.: degrade to no persistent cache
 
 from . import field, poseidon  # noqa: E402
 from .tree import MerkleTree, verify_merkle_proof  # noqa: E402

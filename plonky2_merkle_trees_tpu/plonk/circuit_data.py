@@ -263,7 +263,7 @@ def build_circuit_data(builder) -> CircuitData:
         import jax.numpy as jnp
         rate_bits = config.fri_config.rate_bits
         cap_height = config.fri_config.cap_height
-        coeffs, lde, levels = _stage_batch(rate_bits, cap_height, False)(
+        coeffs, lde, levels = _stage_batch(rate_bits, cap_height)(
             jnp.asarray(pre_values))
         pre_batch = DeviceBatch(coeffs, lde, levels,
                                 min(cap_height, degree_bits + rate_bits))

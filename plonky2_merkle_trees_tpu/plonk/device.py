@@ -86,20 +86,11 @@ def _jnp():
 # Jitted stages (module-level cache; jax.jit re-specialises per shape)
 # ---------------------------------------------------------------------------
 
-_PALLAS_MIN_ROWS = 1 << 14
-
-
 def _permute_device(state):
-    """Poseidon permutation inside a traced stage: the fused Pallas kernel
-    (34M hashes/s) for large batches on a real TPU backend, the XLA-u64 path
-    (4.95M/s) otherwise.  Both are bit-exact; only the big levels go through
-    Pallas so a tree adds only a handful of kernel shapes."""
-    import jax
-    if jax.default_backend() in ("tpu", "axon") and \
-            state.shape[0] >= _PALLAS_MIN_ROWS:
-        from ..ops.poseidon_pallas import permute_pallas
-        return permute_pallas(state)
-    return poseidon.permute(state)
+    """Poseidon permutation inside a traced stage — Pallas for large batches
+    on a TPU backend (single source of truth: ops.tree_kernels)."""
+    from ..ops.tree_kernels import _permute_traced
+    return _permute_traced(state)
 
 
 def _hash_rows_device(matrix):
@@ -135,14 +126,11 @@ def _merkle_levels(leaves_matrix, cap_height: int):
 
 
 @lru_cache(maxsize=None)
-def _stage_batch(rate_bits: int, cap_height: int, from_coeffs: bool):
+def _stage_batch(rate_bits: int, cap_height: int):
     import jax
 
-    def fn(mat):
-        if from_coeffs:
-            coeffs = mat
-        else:
-            coeffs = nttmod.intt(mat)
+    def fn(values):
+        coeffs = nttmod.intt(values)
         lde = nttmod.coset_lde(coeffs, rate_bits)
         levels = _merkle_levels(lde.T, cap_height)
         return coeffs, lde, levels
@@ -292,12 +280,14 @@ def _ext_dot(coeffs, powers):
 def _stage_openings(n: int):
     import jax
 
-    def fn(cs_coeffs, wires_coeffs, zsp_coeffs, q_coeffs, zeta, zeta_next):
+    def fn(cs_coeffs, wires_coeffs, zsp_coeffs, q_coeffs, zs_head, zeta,
+           zeta_next):
         powers = _ext_powers(zeta, n)
         powers_next = _ext_powers(zeta_next, n)
+        # only the Z rows (not the partial products) are opened at zeta*omega
         return (_ext_dot(cs_coeffs, powers), _ext_dot(wires_coeffs, powers),
                 _ext_dot(zsp_coeffs, powers), _ext_dot(q_coeffs, powers),
-                _ext_dot(zsp_coeffs, powers_next))
+                _ext_dot(zs_head, powers_next))
 
     return jax.jit(fn)
 
@@ -527,7 +517,7 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
 
     # 3. commit wires on device
     wires_dev = jnp.asarray(wires)
-    w_coeffs, w_lde, w_levels = _stage_batch(rate_bits, cap_height, False)(wires_dev)
+    w_coeffs, w_lde, w_levels = _stage_batch(rate_bits, cap_height)(wires_dev)
     wires_batch = DeviceBatch(w_coeffs, w_lde, w_levels, cap_height)
 
     ch = Challenger()
@@ -588,7 +578,8 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
     zeta_next_arr = jnp.asarray(np.array([zeta_next.a0, zeta_next.a1],
                                          dtype=np.uint64))
     cs_ev, w_ev, zsp_ev, q_ev, zsp_next_ev = _stage_openings(n)(
-        cs_dev.coeffs, w_coeffs, z_coeffs, q_coeffs, zeta_arr, zeta_next_arr)
+        cs_dev.coeffs, w_coeffs, z_coeffs, q_coeffs, z_coeffs[:nc],
+        zeta_arr, zeta_next_arr)
 
     def to_ext_list(arr, count=None):
         host = np.asarray(arr)
@@ -603,7 +594,7 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
         zs=zsp_evals[:nc],
         partials=zsp_evals[nc:],
         quotient=to_ext_list(q_ev),
-        zs_next=to_ext_list(zsp_next_ev, count=nc),
+        zs_next=to_ext_list(zsp_next_ev),
     )
     for e in openings.flat():
         ch.observe_extension(e)

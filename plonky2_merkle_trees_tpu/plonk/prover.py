@@ -118,7 +118,11 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
                 ready = w.K[inv_t[idx_i]]
                 if ready.any():
                     j = idx_i[ready]
-                    _scatter(w, inv_o[j], field.inv_vec(w.V[inv_t[j]]))
+                    vals = w.V[inv_t[j]]
+                    if (vals == 0).any():   # legacy-engine error parity
+                        raise ZeroDivisionError(
+                            "inverse of zero in Goldilocks field")
+                    _scatter(w, inv_o[j], field.inv_vec(vals))
                     idx_i = idx_i[~ready]
                     progress = True
             if idx_x.size:
@@ -130,6 +134,9 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
                     from .field_ext import W as _W
                     norm = field.sub(field.mul(a0, a0),
                                      field.mul_small(field.mul(a1, a1), _W))
+                    if (norm == 0).any():   # legacy-engine error parity
+                        raise ZeroDivisionError(
+                            "inverse of zero in Goldilocks field")
                     inv_n = field.inv_vec(norm)
                     out = np.stack([field.mul(a0, inv_n),
                                     field.mul(field.neg(a1), inv_n)], axis=-1)

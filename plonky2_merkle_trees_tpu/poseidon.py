@@ -108,6 +108,10 @@ def permute(state):
     return _permute_jnp(state)
 
 
+_JIT_PERMUTE = None
+PERMUTE_JIT_THRESHOLD = 4096
+
+
 def permute_best(state):
     """Batched permutation with the best backend for where the data lives.
 
@@ -117,12 +121,22 @@ def permute_best(state):
       the vectorised-numpy path on this host) — crucially WITHOUT a
       host->device round trip: the tunnel transfer + per-process warmup cost
       far exceeds the compute for any host-side batch worth keeping on host.
+    * without the native lib, large host batches fall back to jitted XLA,
+      but ONLY on a CPU backend — shipping them through an accelerator
+      tunnel costs far more than it saves (measured: one 65k batch, 260s).
     """
     if field._xp(state) is not np:
         return _permute_jnp(state)
     nat = _native()
     if nat and state.ndim == 2:
         return nat.permute_batch(state)
+    if state.ndim == 2 and state.shape[0] >= PERMUTE_JIT_THRESHOLD:
+        import jax
+        if jax.default_backend() == "cpu":
+            global _JIT_PERMUTE
+            if _JIT_PERMUTE is None:
+                _JIT_PERMUTE = jax.jit(_permute_jnp)
+            return np.asarray(_JIT_PERMUTE(state))
     return _permute_np(state)
 
 
