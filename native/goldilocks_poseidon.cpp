@@ -183,6 +183,192 @@ void gp_poseidon_gate_trace_batch(const u64* in, u64* out, size_t n) {
         gp_poseidon_gate_trace(in + 12 * i, out + 118 * i);
 }
 
+// ---------------------------------------------------------------------------
+// Witness VM: executes the circuit's witness-generation program (one
+// instruction per generator) over the dense store (V, K) with runtime
+// dependency-counted scheduling.  Replaces the Python fixpoint engine's
+// many hundreds of vectorised passes (deep sequential arithmetic chains in
+// the in-circuit FRI verifier force one pass per dependency level) with a
+// single native sweep.
+//
+// Instructions can appear in ANY order: the scheduler runs Kahn's algorithm
+// at prove time, seeding availability from the cells the PartialWitness
+// actually set (copy constraints routinely create build-time cycles — e.g.
+// split_le's recomposition is connected back to its user-set input — that
+// only a runtime view of K can break).
+//
+// Instruction stream: ops[i] selects the opcode, args[arg_off[i]..] holds
+// the operands (root ids into V/K; field constants are bit-cast u64).
+//   CONST   0: [out, c]
+//   ARITH   1: [x, y, z, out, c0, c1]        out = c0*x*y + c1*z
+//   POSEIDON2: [in0..in11, out0..out117]     gate trace (fill_row layout)
+//   INV     3: [t, out]                      out = t^-1   (0 -> error 3)
+//   EXTINV  4: [a0, a1, o0, o1, W]           quadratic-ext inverse
+//   SPLIT   5: [t, nb, b0..b_{nb-1}]         little-endian bits
+//   EQ      6: [x, y, b, inv]                b = (x==y), inv = (x-y)^-1|0
+//
+// cons_off/cons_idx: CSR mapping root id -> instructions that consume it
+// (each instruction listed once per DISTINCT input root; unmet counts must
+// match).  avail/unmet/queue are caller-allocated scratch; avail must enter
+// as a copy of K.
+//
+// Return codes: 0 ok; 1 conflict (two writes disagree); 2 stuck (cyclic or
+// missing user input); 3 inverse of zero.  err_idx: failing instruction.
+
+static inline u64 gl_pow(u64 a, u64 e) {
+    u64 r = 1;
+    while (e) {
+        if (e & 1) r = gl_mul(r, a);
+        a = gl_mul(a, a);
+        e >>= 1;
+    }
+    return r;
+}
+
+static inline u64 gl_inv(u64 a) { return gl_pow(a, P - 2); }
+
+static inline u64 gl_sub(u64 a, u64 b) {
+    u64 d = a - b;
+    if (a < b) d += P;
+    return d;
+}
+
+// Operand layout per opcode: inputs at [in0, in0+n_in), outputs at
+// [out0, out0+n_out) within the instruction's args slice.
+static inline void instr_io(int32_t op, const int64_t* a,
+                            int* in0, int* n_in, int* out0, int* n_out) {
+    switch (op) {
+    case 0: *in0 = 0; *n_in = 0;  *out0 = 0;  *n_out = 1; break;          // CONST
+    case 1: *in0 = 0; *n_in = 3;  *out0 = 3;  *n_out = 1; break;          // ARITH
+    case 2: *in0 = 0; *n_in = 12; *out0 = 12; *n_out = 118; break;        // POSEIDON
+    case 3: *in0 = 0; *n_in = 1;  *out0 = 1;  *n_out = 1; break;          // INV
+    case 4: *in0 = 0; *n_in = 2;  *out0 = 2;  *n_out = 2; break;          // EXTINV
+    case 5: *in0 = 0; *n_in = 1;  *out0 = 2;  *n_out = (int)a[1]; break;  // SPLIT
+    case 6: *in0 = 0; *n_in = 2;  *out0 = 2;  *n_out = 2; break;          // EQ
+    default: *in0 = 0; *n_in = 0; *out0 = 0;  *n_out = 0; break;
+    }
+}
+
+extern "C" int gp_run_witness(
+        const int32_t* ops, const int64_t* args, const int64_t* arg_off,
+        int64_t n_instr,
+        const int64_t* cons_off, const int32_t* cons_idx, int64_t n_roots,
+        u64* V, uint8_t* K, uint8_t* avail, int32_t* unmet, int32_t* queue,
+        int64_t* err_idx) {
+    (void)n_roots;
+    // seed: unmet[i] = #distinct input roots not yet available
+    int64_t q_head = 0, q_tail = 0;
+    for (int64_t i = 0; i < n_instr; i++) {
+        const int64_t* a = args + arg_off[i];
+        int in0, n_in, out0, n_out;
+        instr_io(ops[i], a, &in0, &n_in, &out0, &n_out);
+        int cnt = 0;
+        for (int k = 0; k < n_in; k++) {
+            int64_t r = a[in0 + k];
+            if (avail[r]) continue;
+            bool dup = false;
+            for (int j = 0; j < k; j++)
+                if (a[in0 + j] == r) { dup = true; break; }
+            if (!dup) cnt++;
+        }
+        unmet[i] = cnt;
+        if (cnt == 0) queue[q_tail++] = (int32_t)i;
+    }
+
+    int64_t executed = 0;
+    while (q_head < q_tail) {
+        int64_t i = queue[q_head++];
+        const int64_t* a = args + arg_off[i];
+        executed++;
+        #define RD(id, var) \
+            do { if (!K[(id)]) { *err_idx = i; return 2; } \
+                 var = V[(id)]; } while (0)
+        #define WR(id, val) \
+            do { u64 v_ = (val); int64_t id_ = (id); \
+                 if (K[id_]) { if (V[id_] != v_) { *err_idx = i; return 1; } } \
+                 else { V[id_] = v_; K[id_] = 1; } } while (0)
+        switch (ops[i]) {
+        case 0: {  // CONST
+            WR(a[0], (u64)a[1]);
+            break;
+        }
+        case 1: {  // ARITH
+            u64 x, y, z;
+            RD(a[0], x); RD(a[1], y); RD(a[2], z);
+            u64 c0 = (u64)a[4], c1 = (u64)a[5];
+            WR(a[3], gl_add(gl_mul(gl_mul(c0, x), y), gl_mul(c1, z)));
+            break;
+        }
+        case 2: {  // POSEIDON gate trace
+            u64 in[12], tr[118];
+            for (int k = 0; k < 12; k++) RD(a[k], in[k]);
+            gp_poseidon_gate_trace(in, tr);
+            for (int k = 0; k < 118; k++) WR(a[12 + k], tr[k]);
+            break;
+        }
+        case 3: {  // INV
+            u64 t;
+            RD(a[0], t);
+            if (t == 0) { *err_idx = i; return 3; }
+            WR(a[1], gl_inv(t));
+            break;
+        }
+        case 4: {  // EXTINV
+            u64 a0, a1;
+            RD(a[0], a0); RD(a[1], a1);
+            u64 w = (u64)a[4];
+            u64 norm = gl_sub(gl_mul(a0, a0), gl_mul(w, gl_mul(a1, a1)));
+            if (norm == 0) { *err_idx = i; return 3; }
+            u64 ni = gl_inv(norm);
+            u64 neg_a1 = a1 == 0 ? 0 : P - a1;
+            WR(a[2], gl_mul(a0, ni));
+            WR(a[3], gl_mul(neg_a1, ni));
+            break;
+        }
+        case 5: {  // SPLIT
+            u64 t;
+            RD(a[0], t);
+            int64_t nb = a[1];
+            for (int64_t k = 0; k < nb; k++)
+                WR(a[2 + k], (t >> k) & 1ULL);
+            break;
+        }
+        case 6: {  // EQ
+            u64 x, y;
+            RD(a[0], x); RD(a[1], y);
+            u64 d = gl_sub(x, y);
+            if (d == 0) { WR(a[2], 1ULL); WR(a[3], 0ULL); }
+            else       { WR(a[2], 0ULL); WR(a[3], gl_inv(d)); }
+            break;
+        }
+        default:
+            *err_idx = i;
+            return 2;
+        }
+        #undef RD
+        #undef WR
+        // release outputs
+        int in0, n_in, out0, n_out;
+        instr_io(ops[i], a, &in0, &n_in, &out0, &n_out);
+        for (int k = 0; k < n_out; k++) {
+            int64_t r = a[out0 + k];
+            if (avail[r]) continue;
+            avail[r] = 1;
+            for (int64_t c = cons_off[r]; c < cons_off[r + 1]; c++) {
+                if (--unmet[cons_idx[c]] == 0)
+                    queue[q_tail++] = cons_idx[c];
+            }
+        }
+    }
+    if (executed < n_instr) {
+        for (int64_t i = 0; i < n_instr; i++)
+            if (unmet[i] > 0) { *err_idx = i; return 2; }
+        *err_idx = -1;
+        return 2;
+    }
+    return 0;
+}
+
 // Sequential MMR bulk append (canonical post-order layout).
 // leaves: (n_leaves,) field elements; out: (2n - popcount(n), 4) digests.
 void gp_mmr_from_leaves(const u64* leaves, size_t n_leaves, u64* out) {

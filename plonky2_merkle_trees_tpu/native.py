@@ -60,6 +60,14 @@ def _load():
         lib.gp_mmr_from_leaves.argtypes = [u64p, ctypes.c_size_t, u64p]
         lib.gp_poseidon_gate_trace.argtypes = [u64p, u64p]
         lib.gp_poseidon_gate_trace_batch.argtypes = [u64p, u64p, ctypes.c_size_t]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.gp_run_witness.argtypes = [
+            i32p, i64p, i64p, ctypes.c_int64,          # ops, args, arg_off, n
+            i64p, i32p, ctypes.c_int64,                # cons_off, cons_idx, n_roots
+            u64p, u8p, u8p, i32p, i32p, i64p]          # V, K, avail, unmet, queue, err
+        lib.gp_run_witness.restype = ctypes.c_int
         rc = np.array(all_round_constants(), dtype=np.uint64)
         mds = np.array(mds_matrix(), dtype=np.uint64).reshape(-1)
         lib.gp_init(rc.ctypes.data_as(u64p), mds.ctypes.data_as(u64p))
@@ -126,6 +134,33 @@ def poseidon_gate_trace_batch(inputs: np.ndarray) -> np.ndarray:
     out = np.empty((arr.shape[0], 118), dtype=np.uint64)
     lib.gp_poseidon_gate_trace_batch(_ptr(arr), _ptr(out), arr.shape[0])
     return out
+
+
+def run_witness(prog, V: np.ndarray, K: np.ndarray):
+    """Execute a witness-generation program (see gp_run_witness in the C++
+    source: dependency-scheduled instruction stream) over the dense store.
+    ``prog`` is the dict built by circuit_data._build_witness_program.
+    Returns (code, err_idx): code 0 ok, 1 conflict, 2 stuck, 3 zero-inv."""
+    lib = _load()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ops, args, arg_off = prog["ops"], prog["args"], prog["arg_off"]
+    cons_off, cons_idx = prog["cons_off"], prog["cons_idx"]
+    n_instr = int(ops.shape[0])
+    avail = K.view(np.uint8).copy()
+    unmet = np.empty(n_instr, dtype=np.int32)
+    queue = np.empty(n_instr, dtype=np.int32)
+    err = ctypes.c_int64(-1)
+    code = lib.gp_run_witness(
+        ops.ctypes.data_as(i32p), args.ctypes.data_as(i64p),
+        arg_off.ctypes.data_as(i64p), n_instr,
+        cons_off.ctypes.data_as(i64p), cons_idx.ctypes.data_as(i32p),
+        int(cons_off.shape[0]) - 1,
+        _ptr(V), K.ctypes.data_as(u8p), avail.ctypes.data_as(u8p),
+        unmet.ctypes.data_as(i32p), queue.ctypes.data_as(i32p),
+        ctypes.byref(err))
+    return code, err.value
 
 
 def mmr_from_leaves(leaves) -> np.ndarray:

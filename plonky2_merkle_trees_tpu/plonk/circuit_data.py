@@ -208,7 +208,93 @@ def _build_vec_gen(builder, root_map, wm_fill, wm_cells, n, num_wires):
     vg["wm_ids"] = np.array(ids, dtype=np.int64)
     vg["wm_cols"] = np.array(cols, dtype=np.int64)
     vg["wm_rows"] = np.array(rows_, dtype=np.int64)
+    vg["prog"] = _build_witness_program(vg)
     return vg
+
+
+def _build_witness_program(vg):
+    """Serialize the vec_gen tables into the native witness VM's instruction
+    stream + consumer CSR (see gp_run_witness in native/goldilocks_poseidon
+    .cpp).  One instruction per generator; the VM schedules them at prove
+    time with Kahn's algorithm seeded from the user-set cells, so the whole
+    witness materialises in a single native call instead of one vectorised
+    pass per dependency level (~870 passes for the recursion outer circuit)."""
+    from .field_ext import W as EXT_W
+    n_roots = len(vg["root_id"])
+    ops_list, args_list, lens_list = [], [], []
+    edge_instr, edge_root = [], []
+    base = 0
+
+    def add_group(op, mat, in_cols):
+        nonlocal base
+        mat = np.ascontiguousarray(mat, dtype=np.uint64)
+        n, k = mat.shape
+        if n == 0:
+            return
+        ops_list.append(np.full(n, op, dtype=np.int32))
+        args_list.append(mat.reshape(-1))
+        lens_list.append(np.full(n, k, dtype=np.int64))
+        if in_cols:
+            edge_instr.append(np.repeat(
+                np.arange(base, base + n, dtype=np.int64), len(in_cols)))
+            edge_root.append(mat[:, in_cols].astype(np.int64).reshape(-1))
+        base += n
+
+    if vg["const_ids"].shape[0]:
+        add_group(0, np.stack([vg["const_ids"].astype(np.uint64),
+                               vg["const_vals"]], axis=1), [])
+    if vg["a_x"].shape[0]:
+        add_group(1, np.stack([vg["a_x"].astype(np.uint64),
+                               vg["a_y"].astype(np.uint64),
+                               vg["a_z"].astype(np.uint64),
+                               vg["a_o"].astype(np.uint64),
+                               vg["a_c0"], vg["a_c1"]], axis=1), [0, 1, 2])
+    if vg["p_in"].shape[0]:
+        add_group(2, np.concatenate([vg["p_in"].astype(np.uint64),
+                                     vg["p_out"].astype(np.uint64)], axis=1),
+                  list(range(12)))
+    if vg["inv_t"].shape[0]:
+        add_group(3, np.stack([vg["inv_t"].astype(np.uint64),
+                               vg["inv_o"].astype(np.uint64)], axis=1), [0])
+    if vg["ei_a"].shape[0]:
+        n_ei = vg["ei_a"].shape[0]
+        add_group(4, np.concatenate(
+            [vg["ei_a"].astype(np.uint64), vg["ei_o"].astype(np.uint64),
+             np.full((n_ei, 1), EXT_W, dtype=np.uint64)], axis=1), [0, 1])
+    for nb, (s_t, s_bits) in vg["splits"].items():
+        n_s = s_t.shape[0]
+        add_group(5, np.concatenate(
+            [s_t.astype(np.uint64)[:, None],
+             np.full((n_s, 1), nb, dtype=np.uint64),
+             s_bits.astype(np.uint64)], axis=1), [0])
+    if vg["eqs"]:
+        add_group(6, np.array(vg["eqs"], dtype=np.uint64), [0, 1])
+
+    if not ops_list:
+        return None
+    ops = np.concatenate(ops_list)
+    args = np.concatenate(args_list).view(np.int64)
+    lens = np.concatenate(lens_list)
+    arg_off = np.zeros(ops.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=arg_off[1:])
+    n_instr = int(ops.shape[0])
+
+    # consumer CSR over DISTINCT (root, instr) pairs — the VM's unmet
+    # counters count distinct input roots per instruction.
+    if edge_instr:
+        instr = np.concatenate(edge_instr)
+        root = np.concatenate(edge_root)
+        key = np.unique(root * np.int64(n_instr) + instr)
+        root_s = key // n_instr
+        instr_s = key % n_instr
+    else:
+        root_s = np.zeros(0, dtype=np.int64)
+        instr_s = np.zeros(0, dtype=np.int64)
+    counts = np.bincount(root_s, minlength=n_roots)
+    cons_off = np.zeros(n_roots + 1, dtype=np.int64)
+    np.cumsum(counts, out=cons_off[1:])
+    return {"ops": ops, "args": args, "arg_off": arg_off,
+            "cons_off": cons_off, "cons_idx": instr_s.astype(np.int32)}
 
 
 def build_circuit_data(builder) -> CircuitData:

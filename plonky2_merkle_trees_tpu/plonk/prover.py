@@ -74,6 +74,23 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
     for t, v in pw.values.items():
         w.set_target(t, v)
 
+    # Native witness VM: the whole generator graph in ONE scheduled C++
+    # sweep (the fixpoint below needs one vectorised pass per dependency
+    # level — ~870 for the recursion outer circuit's FRI-verifier chains).
+    prog = vg.get("prog")
+    if prog is not None and native.available():
+        code, err = native.run_witness(prog, w.V, w.K)
+        if code == 0:
+            return w
+        if code == 1:
+            raise WitnessConflict(
+                f"witness cell set twice with different values "
+                f"(instruction {err})")
+        if code == 3:
+            raise ZeroDivisionError("inverse of zero in Goldilocks field")
+        raise RuntimeError(
+            f"witness generation stuck: instruction {err} cannot make progress")
+
     if vg["const_ids"].shape[0]:
         _scatter(w, vg["const_ids"], vg["const_vals"])
 
@@ -92,10 +109,19 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
     idx_x = np.arange(ei_a.shape[0])
     idx_s = {nb: np.arange(g[0].shape[0]) for nb, g in splits.items()}
     pend_e = list(vg["eqs"])
+    import os as _os
+    trace = _os.environ.get("PMT_WITNESS_TRACE") == "1"
+    n_pass = 0
 
     with np.errstate(over="ignore"):
         while True:
             progress = False
+            if trace:
+                n_pass += 1
+                print(f"  pass {n_pass}: arith={idx_a.size} pos={idx_p.size} "
+                      f"inv={idx_i.size} extinv={idx_x.size} "
+                      f"split={sum(i.size for i in idx_s.values())} "
+                      f"eq={len(pend_e)}")
             if idx_a.size:
                 ready = w.K[a_x[idx_a]] & w.K[a_y[idx_a]] & w.K[a_z[idx_a]]
                 if ready.any():
