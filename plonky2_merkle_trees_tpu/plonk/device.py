@@ -40,8 +40,7 @@ from ..poseidon_constants import RATE, WIDTH
 from .challenger import Challenger
 from .commitment import MerkleCommitment, PolynomialBatch
 from .field_ext import ExtensionField, ext_mul, W
-from .fri import (FriInitialOpening, FriProof, FriQueryRound, FriQueryStep,
-                  check_pow, coset_points)
+from .fri import FriProof, check_pow, coset_points, gather_query_rounds
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
 from .vanishing import CHUNK, eval_combined
 from .algebra import BatchAlgebra
@@ -134,6 +133,27 @@ def _stage_batch(rate_bits: int, cap_height: int):
         lde = nttmod.coset_lde(coeffs, rate_bits)
         levels = _merkle_levels(lde.T, cap_height)
         return coeffs, lde, levels
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _stage_wires(rate_bits: int, cap_height: int, num_wires: int, n: int):
+    """Wire matrix scatter + commit in one program.  The host uploads the
+    dense witness root vector (a few MB) instead of the materialised
+    (num_wires, N) matrix (tens of MB through the ~50 MB/s tunnel); the
+    build-time (root id, col, row) fill list lives on device."""
+    import jax
+    jnp = _jnp()
+
+    def fn(V, K, ids, cols, rows):
+        vals = jnp.where(K[ids], V[ids], jnp.uint64(0))
+        wires = jnp.zeros((num_wires, n), dtype=jnp.uint64)
+        wires = wires.at[cols, rows].set(vals)
+        coeffs = nttmod.intt(wires)
+        lde = nttmod.coset_lde(coeffs, rate_bits)
+        levels = _merkle_levels(lde.T, cap_height)
+        return wires, coeffs, lde, levels
 
     return jax.jit(fn)
 
@@ -505,7 +525,6 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
 
     # 1-2. witness (host) + public inputs
     w = host_prover._run_generators(circuit_data, pw)
-    wires = host_prover._wire_matrix(circuit_data, w)
     pi_values = []
     for t in po.public_inputs:
         v = w.get_target(t)
@@ -515,9 +534,30 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
     pi_hash = poseidon.hash_no_pad_scalar(pi_values) if pi_values \
         else np.zeros(4, dtype=np.uint64)
 
-    # 3. commit wires on device
-    wires_dev = jnp.asarray(wires)
-    w_coeffs, w_lde, w_levels = _stage_batch(rate_bits, cap_height)(wires_dev)
+    # 3. commit wires on device.  For the vectorised witness engine the
+    # wire matrix is scattered ON DEVICE from the dense root vector (a few
+    # MB uploaded instead of the (num_wires, N) matrix — tens of MB through
+    # the ~50 MB/s tunnel).  Side-dict cells (floating roots never
+    # referenced at build time) would be missed by the scatter; fall back to
+    # the host fill in that rare case.
+    from .witness import VectorWitness
+    use_scatter = isinstance(w, VectorWitness) and not any(
+        isinstance(root, tuple) and root[0] == "c" for root in w._side)
+    if use_scatter:
+        vg = po.vec_gen
+        dev_wm = getattr(po, "_device_wm", None)
+        if dev_wm is None:
+            dev_wm = (jnp.asarray(vg["wm_ids"].astype(np.int32)),
+                      jnp.asarray(vg["wm_cols"].astype(np.int32)),
+                      jnp.asarray(vg["wm_rows"].astype(np.int32)))
+            po._device_wm = dev_wm
+        wires_dev, w_coeffs, w_lde, w_levels = _stage_wires(
+            rate_bits, cap_height, config.num_wires, n)(
+                jnp.asarray(w.V), jnp.asarray(w.K), *dev_wm)
+    else:
+        wires = host_prover._wire_matrix(circuit_data, w)
+        wires_dev = jnp.asarray(wires)
+        w_coeffs, w_lde, w_levels = _stage_batch(rate_bits, cap_height)(wires_dev)
     wires_batch = DeviceBatch(w_coeffs, w_lde, w_levels, cap_height)
 
     ch = Challenger()
@@ -672,93 +712,11 @@ def _fri_prove_device(f_vals, oracles, challenger: Challenger, fri_config,
                                            fri_config.proof_of_work_bits)
     assert check_pow(challenger, pow_witness, fri_config.proof_of_work_bits)
 
-    # queries: every gather (oracle leaf rows, oracle tree paths, layer
-    # cosets, layer tree paths) is queued on device first and fetched in ONE
-    # transfer — per-tree syncs cost ~0.25s each through the tunnel.
+    # queries: shared single-transfer gather (fri.gather_query_rounds)
     n_q = fri_config.num_query_rounds
     indices = [challenger.get_challenge() % m for _ in range(n_q)]
-    idx_arr = jnp.asarray(np.asarray(indices, dtype=np.int64))
-
-    pieces = []          # flat (k, ...) device arrays to fetch together
-
-    def queue_tree_paths(tree, rows_np):
-        """Queue one (n_levels * n_q, 4) gather for a tree's sibling paths."""
-        inner = tree.levels[:-1]
-        sel = rows_np.copy()
-        gathered = []
-        for level in inner:
-            xp = field._xp(level)
-            s = sel ^ 1
-            gathered.append(level[s] if xp is np
-                            else level[xp.asarray(s)])
-            sel = sel // 2
-        if not inner:
-            pieces.append(np.zeros((0, 4), dtype=np.uint64))
-            return 0
-        xp = field._xp(inner[0])
-        pieces.append(xp.concatenate(gathered, axis=0) if xp is not np
-                      else np.concatenate(gathered, axis=0))
-        return len(inner)
-
-    # oracle leaf rows + paths
-    oracle_meta = []
-    for oracle in oracles:
-        pieces.append(oracle.lde_values[:, idx_arr].T)         # (n_q, polys)
-        n_lv = queue_tree_paths(oracle.tree,
-                                np.asarray(indices, dtype=np.int64))
-        oracle_meta.append(n_lv)
-
-    # fri layer cosets + paths
-    layer_meta = []
-    idxs = list(indices)
-    for tree, a_bits, values in zip(trees, layer_arities, layer_values):
-        m_layer = int(values.shape[0])
-        m_next = m_layer >> a_bits
-        rows = [i % m_next for i in idxs]
-        gidx = np.asarray(rows, dtype=np.int64)[:, None] + \
-            (np.arange(1 << a_bits, dtype=np.int64) * m_next)[None, :]
-        pieces.append(values[jnp.asarray(gidx.reshape(-1))])
-        n_lv = queue_tree_paths(tree, np.asarray(rows, dtype=np.int64))
-        layer_meta.append((a_bits, n_lv))
-        idxs = rows
-
-    # ONE transfer: flatten every queued piece into a single device array
-    flat = np.asarray(jnp.concatenate(
-        [jnp.asarray(p).reshape(-1).astype(jnp.uint64) for p in pieces]))
-    fetched = []
-    off = 0
-    for p in pieces:
-        size = int(np.prod(p.shape))
-        fetched.append(flat[off:off + size].reshape(p.shape))
-        off += size
-
-    k = 0
-    oracle_rows = []
-    for n_lv in oracle_meta:
-        rows_mat = fetched[k]                     # (n_q, polys)
-        paths_flat = fetched[k + 1]               # (n_lv * n_q, 4)
-        paths = [[paths_flat[lv * n_q + q] for lv in range(n_lv)]
-                 for q in range(n_q)]
-        oracle_rows.append((list(rows_mat), paths))
-        k += 2
-    layer_cosets, layer_paths = [], []
-    for a_bits, n_lv in layer_meta:
-        layer_cosets.append(fetched[k].reshape(n_q, 1 << a_bits, 2))
-        paths_flat = fetched[k + 1]
-        layer_paths.append([[paths_flat[lv * n_q + q] for lv in range(n_lv)]
-                            for q in range(n_q)])
-        k += 2
-
-    query_rounds = []
-    for q, index in enumerate(indices):
-        initial = FriInitialOpening(
-            leaf_values=[oracle_rows[o][0][q] for o in range(len(oracles))],
-            paths=[oracle_rows[o][1][q] for o in range(len(oracles))])
-        steps = [FriQueryStep(coset_values=layer_cosets[lv][q],
-                              path=layer_paths[lv][q])
-                 for lv in range(len(trees))]
-        query_rounds.append(FriQueryRound(index=index, initial=initial,
-                                          steps=steps))
+    query_rounds = gather_query_rounds(indices, oracles, trees, layer_arities,
+                                       layer_values)
 
     return FriProof(commit_caps=caps, final_poly=final_poly,
                     pow_witness=pow_witness, query_rounds=query_rounds)

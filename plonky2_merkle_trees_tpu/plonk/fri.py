@@ -149,6 +149,102 @@ def check_pow(challenger: Challenger, nonce: int, pow_bits: int) -> bool:
     return c < (1 << (64 - pow_bits))
 
 
+# -- query phase (shared between the numpy and device provers) ----------------------
+
+def gather_query_rounds(indices, oracles, trees, layer_arities,
+                        layer_values) -> List["FriQueryRound"]:
+    """Open every oracle leaf row, oracle tree path, layer coset and layer
+    tree path at the query indices.  All device-resident gathers are queued
+    first and fetched in ONE host transfer — per-tree syncs cost ~0.25s each
+    through a remote-TPU tunnel.  Host-resident (numpy) arrays pass through
+    untouched, so the numpy prover shares this implementation verbatim."""
+    n_q = len(indices)
+    idx_np = np.asarray([int(i) for i in indices], dtype=np.int64)
+    pieces = []
+
+    def queue(arr) -> int:
+        pieces.append(arr)
+        return len(pieces) - 1
+
+    def queue_tree_paths(tree, rows_np):
+        """One (n_levels * n_q, 4) gather for a tree's sibling paths."""
+        inner = tree.levels[:-1]
+        if not inner:
+            return queue(np.zeros((0, 4), dtype=np.uint64)), 0
+        xp = field._xp(inner[0])
+        sel = rows_np.copy()
+        gathered = []
+        for level in inner:
+            s = sel ^ 1
+            gathered.append(level[s] if xp is np else level[xp.asarray(s)])
+            sel = sel // 2
+        cat = np.concatenate if xp is np else xp.concatenate
+        return queue(cat(gathered, axis=0)), len(inner)
+
+    oracle_meta = []
+    for oracle in oracles:
+        xp = field._xp(oracle.lde_values)
+        sel = idx_np if xp is np else xp.asarray(idx_np)
+        oracle_meta.append(
+            (queue(oracle.lde_values[:, sel].T),           # (n_q, num_polys)
+             *queue_tree_paths(oracle.tree, idx_np)))
+
+    layer_meta = []
+    idxs = idx_np
+    for tree, a_bits, values in zip(trees, layer_arities, layer_values):
+        m_next = int(values.shape[0]) >> a_bits
+        rows = idxs % m_next
+        gidx = rows[:, None] + \
+            (np.arange(1 << a_bits, dtype=np.int64) * m_next)[None, :]
+        xp = field._xp(values)
+        sel = gidx.reshape(-1) if xp is np else xp.asarray(gidx.reshape(-1))
+        layer_meta.append((queue(values[sel]),
+                           *queue_tree_paths(tree, rows), a_bits))
+        idxs = rows
+
+    # flush: ONE transfer covering every queued device piece
+    fetched = [None] * len(pieces)
+    dev = [(k, p) for k, p in enumerate(pieces) if field._xp(p) is not np]
+    if dev:
+        import jax.numpy as jnp
+        flat = np.asarray(jnp.concatenate(
+            [jnp.asarray(p).reshape(-1).astype(jnp.uint64) for _, p in dev]))
+        off = 0
+        for k, p in dev:
+            size = int(np.prod(p.shape))
+            fetched[k] = flat[off:off + size].reshape(p.shape)
+            off += size
+    for k, p in enumerate(pieces):
+        if fetched[k] is None:
+            fetched[k] = np.asarray(p)
+
+    oracle_rows = []
+    for pi, pj, n_lv in oracle_meta:
+        paths_flat = fetched[pj]
+        oracle_rows.append(
+            (list(fetched[pi]),
+             [[paths_flat[lv * n_q + q] for lv in range(n_lv)]
+              for q in range(n_q)]))
+    layer_cosets, layer_paths = [], []
+    for pi, pj, n_lv, a_bits in layer_meta:
+        layer_cosets.append(fetched[pi].reshape(n_q, 1 << a_bits, 2))
+        paths_flat = fetched[pj]
+        layer_paths.append([[paths_flat[lv * n_q + q] for lv in range(n_lv)]
+                            for q in range(n_q)])
+
+    query_rounds = []
+    for q, index in enumerate(indices):
+        initial = FriInitialOpening(
+            leaf_values=[oracle_rows[o][0][q] for o in range(len(oracles))],
+            paths=[oracle_rows[o][1][q] for o in range(len(oracles))])
+        steps = [FriQueryStep(coset_values=layer_cosets[lv][q],
+                              path=layer_paths[lv][q])
+                 for lv in range(len(trees))]
+        query_rounds.append(FriQueryRound(index=index, initial=initial,
+                                          steps=steps))
+    return query_rounds
+
+
 # -- prover -------------------------------------------------------------------------
 
 def fri_prove(lde_ext_values: np.ndarray, oracles, challenger: Challenger,
@@ -200,38 +296,11 @@ def fri_prove(lde_ext_values: np.ndarray, oracles, challenger: Challenger,
     assert check_pow(challenger, pow_witness, fri_config.proof_of_work_bits)
 
     # queries — indices drawn first, then every oracle/tree/layer gathered in
-    # one batched transfer (device-resident arrays pay per-level, not
-    # per-query, round trips)
+    # one batched transfer (gather_query_rounds)
     n_q = fri_config.num_query_rounds
     indices = [challenger.get_challenge() % m for _ in range(n_q)]
-    oracle_rows = [oracle.open_lde_rows(indices) for oracle in oracles]
-
-    layer_cosets: List[np.ndarray] = []    # per layer: (n_q, 2^a, 2) coset values
-    layer_paths: List[List[List[np.ndarray]]] = []
-    idxs = list(indices)
-    for tree, a_bits, values in zip(trees, layer_arities, layer_values):
-        m_layer = values.shape[0]
-        m_next = m_layer >> a_bits
-        rows = [i % m_next for i in idxs]
-        xp = field._xp(values)
-        # gather indices row + t*m_next for t < 2^a, for every query at once
-        gidx = np.asarray(rows, dtype=np.int64)[:, None] + \
-            (np.arange(1 << a_bits, dtype=np.int64) * m_next)[None, :]
-        sel = gidx if xp is np else xp.asarray(gidx)
-        layer_cosets.append(np.asarray(values[sel.reshape(-1)])
-                            .reshape(n_q, 1 << a_bits, 2))
-        layer_paths.append(tree.open_many(rows))
-        idxs = rows
-
-    query_rounds = []
-    for q, index in enumerate(indices):
-        initial = FriInitialOpening(
-            leaf_values=[oracle_rows[o][0][q] for o in range(len(oracles))],
-            paths=[oracle_rows[o][1][q] for o in range(len(oracles))])
-        steps = [FriQueryStep(coset_values=layer_cosets[lv][q],
-                              path=layer_paths[lv][q])
-                 for lv in range(len(trees))]
-        query_rounds.append(FriQueryRound(index=index, initial=initial, steps=steps))
+    query_rounds = gather_query_rounds(indices, oracles, trees, layer_arities,
+                                       layer_values)
 
     return FriProof(commit_caps=caps, final_poly=final_poly,
                     pow_witness=pow_witness, query_rounds=query_rounds)
