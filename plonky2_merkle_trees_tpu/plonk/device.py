@@ -398,7 +398,8 @@ def _stage_fri_fold(a_bits: int, log_m: int, shift: int):
 
 def _fold_binary_dev(values, beta, log_m: int, shift: int):
     """fold_binary with a dynamic (2,) beta (fri.fold_binary takes a host
-    scalar; same math)."""
+    scalar; same math).  The coset points are built on device (powers of a
+    host constant) rather than baked as an XLA literal."""
     jnp = _jnp()
     m = values.shape[0]
     half = m // 2
@@ -406,8 +407,10 @@ def _fold_binary_dev(values, beta, log_m: int, shift: int):
     s = field.add(a, b)
     d = field.sub(a, b)
     half_inv = np.uint64(field.h_inverse(2))
-    pts = coset_points(log_m, shift)[:half]
-    inv_2x = field.inv_vec(field.mul_small(jnp.asarray(pts), 2))
+    w = field.primitive_root_of_unity(log_m)
+    pts = field.mul(nttmod._powers_on_device(jnp, w, half),
+                    jnp.uint64(shift % P))
+    inv_2x = field.inv_vec(field.mul_small(pts, 2))
     term1 = jnp.stack([field.mul(s[:, 0], half_inv),
                        field.mul(s[:, 1], half_inv)], axis=-1)
     d_scaled = jnp.stack([field.mul(d[:, 0], inv_2x),
@@ -450,6 +453,559 @@ def _find_pow_witness_device(challenger: Challenger, pow_bits: int) -> int:
         if bool(found):
             return start + int(idx)
         start += _POW_BATCH
+
+
+# ---------------------------------------------------------------------------
+# Monolithic device prover: the whole commit->quotient->openings->FRI
+# pipeline as ONE jitted program.
+#
+# The staged prover above pays one executable load (~40s cold through the
+# axon tunnel) and at least one host sync per stage (~12 programs for a
+# degree-2^15 circuit).  The only reason the protocol was ever split is the
+# Fiat-Shamir challenger; but its observe/squeeze CALL SEQUENCE is static
+# per circuit shape, so a device-resident duplex sponge over traced scalars
+# (DeviceChallenger) lets the whole pipeline fuse.  The host afterwards
+# replays the transcript over the fetched caps/openings (tiny, one
+# transfer) to re-derive the query indices, grinds the PoW, and assembles
+# the query rounds from the device-resident LDE/tree outputs.
+# ---------------------------------------------------------------------------
+
+
+class DeviceChallenger:
+    """Traced twin of challenger.Challenger: same duplex-sponge semantics,
+    but the state lanes are traced scalars and the buffer bookkeeping is
+    static Python (valid because each circuit shape fixes the transcript's
+    observe/squeeze sequence).
+
+    Observations are buffered and flushed LAZILY at squeeze points as one
+    lax.scan over RATE-chunks — one permutation call site per squeeze
+    region instead of one per absorbed chunk, keeping the traced graph
+    small (the host duplex rule flushes full chunks eagerly and the partial
+    remainder at squeeze time, which is exactly chunking the pending list)."""
+
+    def __init__(self, state=None, taken: int = RATE):
+        jnp = _jnp()
+        self.state = jnp.zeros(WIDTH, dtype=jnp.uint64) \
+            if state is None else state
+        self.pending = []            # traced scalars not yet absorbed
+        self.taken = taken           # outputs consumed since last flush
+
+    def observe_element(self, x):
+        self.pending.append(x)
+        self.taken = RATE            # new input invalidates pending outputs
+
+    def observe_array(self, arr):
+        """Row-major element observation (matches observe_cap /
+        observe_hash / OpeningSet.flat orders)."""
+        flat = arr.reshape(-1)
+        k = int(flat.shape[0])
+        self.pending.extend(flat[i] for i in range(k))
+        if k:
+            self.taken = RATE
+
+    def _flush(self):
+        import jax
+        jnp = _jnp()
+        rows = [self.pending[i:i + RATE]
+                for i in range(0, len(self.pending), RATE)] or [[]]
+        zero = jnp.zeros((), dtype=jnp.uint64)
+        inj = jnp.stack([jnp.stack(list(r) + [zero] * (RATE - len(r)))
+                         for r in rows])                   # (steps, RATE)
+        mask = np.zeros((len(rows), WIDTH), dtype=bool)
+        for i, r in enumerate(rows):
+            mask[i, :len(r)] = True
+
+        def body(state, xr):
+            vals, mk = xr
+            vals_full = jnp.concatenate(
+                [vals, jnp.zeros(WIDTH - RATE, dtype=jnp.uint64)])
+            st = jnp.where(mk, vals_full, state)
+            return _permute_device(st[None, :])[0], None
+
+        self.state, _ = jax.lax.scan(body, self.state,
+                                     (inj, jnp.asarray(mask)))
+        self.pending = []
+        self.taken = 0
+
+    def get_challenge(self):
+        if self.pending or self.taken >= RATE:
+            self._flush()
+        v = self.state[RATE - 1 - self.taken]
+        self.taken += 1
+        return v
+
+    def get_ext_challenge(self):
+        a0 = self.get_challenge()
+        a1 = self.get_challenge()
+        jnp = _jnp()
+        return jnp.stack([a0, a1])
+
+
+def _mono_blob_layout(num_sel, r_wires, num_wires, nc, degree_bits, rate_bits,
+                      cap_height, arities):
+    """Static (name, shape) list for the mono program's packed transcript
+    blob — shared by the device-side packer and the host-side parser."""
+    n_cs = num_sel + 2 + r_wires
+    num_chunks = r_wires // CHUNK
+    cap_n = 1 << cap_height
+    layout = [
+        ("w_cap", (cap_n, 4)), ("z_cap", (cap_n, 4)), ("q_cap", (cap_n, 4)),
+        ("cs_ev", (n_cs, 2)), ("w_ev", (num_wires, 2)),
+        ("zsp_ev", (nc * num_chunks, 2)),
+        ("q_ev", (nc << rate_bits, 2)), ("zs_next_ev", (nc, 2)),
+    ]
+    cur_log = degree_bits + rate_bits
+    for i, a_bits in enumerate(arities):
+        eff = min(cap_height, cur_log - a_bits)
+        layout.append((f"fri_cap_{i}", (1 << eff, 4)))
+        cur_log -= a_bits
+    final_m = 1 << cur_log
+    layout.append(("final_c0", (final_m,)))
+    layout.append(("final_c1", (final_m,)))
+    layout.append(("closure", (nc,)))
+    return layout
+
+
+def _parse_blob(blob_np, layout):
+    out = {}
+    off = 0
+    for name, shape in layout:
+        size = int(np.prod(shape))
+        out[name] = blob_np[off:off + size].reshape(shape)
+        off += size
+    return out
+
+
+# The pipeline is fused into THREE programs, not one: the remote TPU
+# compile helper OOMs on a single ~110 MB-MLIR module (measured), while the
+# largest per-protocol-phase module (~40 MB, the quotient) is known to
+# compile.  The challenger state is threaded device-to-device between the
+# programs, so warm-path behavior is identical to a true monolith: three
+# dispatches, zero host syncs until the final one-transfer blob fetch.
+
+
+@lru_cache(maxsize=None)
+def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
+                       degree_bits: int, rate_bits: int, cap_height: int):
+    """Program 1: wire scatter+commit, permutation ratios, Z prefix
+    products, zsp commit; challenger through betas/gammas/alphas."""
+    import jax
+    n = 1 << degree_bits
+    num_chunks = r_wires // CHUNK
+
+    def fn(V, K, wm_ids, wm_cols, wm_rows, sigmas, tags, circuit_digest,
+           pi_hash):
+        jnp = _jnp()
+        ch = DeviceChallenger()
+
+        vals = jnp.where(K[wm_ids], V[wm_ids], jnp.uint64(0))
+        wires = jnp.zeros((num_wires, n), dtype=jnp.uint64)
+        wires = wires.at[wm_cols, wm_rows].set(vals)
+        w_coeffs = nttmod.intt(wires)
+        w_lde = nttmod.coset_lde(w_coeffs, rate_bits)
+        w_levels = _merkle_levels(w_lde.T, cap_height)
+        w_cap = w_levels[-1]
+
+        ch.observe_array(circuit_digest)
+        ch.observe_array(pi_hash)
+        ch.observe_array(w_cap)
+        betas = [ch.get_challenge() for _ in range(nc)]
+        gammas = [ch.get_challenge() for _ in range(nc)]
+
+        routed = wires[:r_wires]
+        f_stack, g_stack = [], []
+        for c in range(nc):
+            f = field.add(routed, field.add(field.mul(tags, betas[c]),
+                                            gammas[c]))
+            g = field.add(routed, field.add(field.mul(sigmas, betas[c]),
+                                            gammas[c]))
+            f_stack.append(f.reshape(num_chunks, CHUNK, n))
+            g_stack.append(g.reshape(num_chunks, CHUNK, n))
+        fp = jnp.stack(f_stack)                  # (nc, chunks, CHUNK, n)
+        gp = jnp.stack(g_stack)
+        while fp.shape[2] > 1:                   # pairwise chunk products
+            half_c = fp.shape[2] // 2
+            fp = field.mul(fp[:, :, :half_c], fp[:, :, half_c:])
+            gp = field.mul(gp[:, :, :half_c], gp[:, :, half_c:])
+        ratios = field.mul(fp[:, :, 0], field.inv_vec(gp[:, :, 0]))
+        z_rows, closure = [], []
+        for c in range(nc):
+            rall = ratios[c, 0]
+            for j in range(1, num_chunks):
+                rall = field.mul(rall, ratios[c, j])
+            pp = jax.lax.associative_scan(field.mul, rall)
+            z_rows.append(jnp.concatenate(
+                [jnp.ones(1, dtype=jnp.uint64), pp[:-1]]))
+            closure.append(pp[-1])               # must be 1 (checked on host)
+        rows = list(z_rows)
+        for c in range(nc):
+            prod = z_rows[c]
+            for j in range(num_chunks - 1):
+                prod = field.mul(prod, ratios[c, j])
+                rows.append(prod)
+        zsp_values = jnp.stack(rows)
+        z_coeffs = nttmod.intt(zsp_values)
+        z_lde = nttmod.coset_lde(z_coeffs, rate_bits)
+        z_levels = _merkle_levels(z_lde.T, cap_height)
+        ch.observe_array(z_levels[-1])
+        alphas = [ch.get_challenge() for _ in range(nc)]
+
+        chal = jnp.stack(betas + gammas + alphas)
+        return (ch.state, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde,
+                z_levels, w_cap, z_levels[-1], jnp.stack(closure))
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
+                         k_is: tuple, degree_bits: int, rate_bits: int,
+                         cap_height: int):
+    """Program 2: quotient evaluation+commit and the zeta openings;
+    challenger through zeta and fri_alpha."""
+    import jax
+    n = 1 << degree_bits
+    m = n << rate_bits
+    num_chunks = r_wires // CHUNK
+    omega = field.primitive_root_of_unity(degree_bits)
+
+    def fn(ch_state, chal, cs_coeffs, cs_lde, w_coeffs, w_lde, z_coeffs,
+           z_lde, xs, pi_hash):
+        jnp = _jnp()
+        ch = DeviceChallenger(ch_state)   # first action is an observe
+        betas = [chal[c] for c in range(nc)]
+        gammas = [chal[nc + c] for c in range(nc)]
+        alphas = [chal[2 * nc + c] for c in range(nc)]
+
+        alg = BatchAlgebra(jnp, m)
+        sel_rows = [cs_lde[i] for i in range(num_sel)]
+        const_rows = [cs_lde[num_sel + i] for i in range(2)]
+        sigma_rows = [cs_lde[num_sel + 2 + i] for i in range(r_wires)]
+        wire_rows = [w_lde[i] for i in range(num_wires)]
+        zs_rows = [z_lde[c] for c in range(nc)]
+        rate = 1 << rate_bits
+        zs_next_rows = [jnp.roll(zr, -rate) for zr in zs_rows]
+        partials_lde = {
+            c: [z_lde[nc + c * (num_chunks - 1) + j]
+                for j in range(num_chunks - 1)]
+            for c in range(nc)
+        }
+        pi_hash_alg = [jnp.broadcast_to(pi_hash[i], (m,)) for i in range(4)]
+        zh = field.sub(field.exp_vec(xs, n), np.uint64(1))
+        l0 = field.mul(zh, field.inv_vec(
+            field.mul_small(field.sub(xs, np.uint64(1)), n % P)))
+        combined = eval_combined(
+            alg, r_wires, list(k_is), xs, wire_rows, sel_rows, const_rows,
+            sigma_rows, zs_rows, zs_next_rows, partials_lde,
+            betas, gammas, alphas, pi_hash_alg, l0)
+        zh_inv = field.inv_vec(zh)
+        chunks = []
+        for c in range(nc):
+            t_coeffs = nttmod.coset_intt(field.mul(combined[c], zh_inv))
+            for i in range(m // n):
+                chunks.append(t_coeffs[i * n:(i + 1) * n])
+        q_coeffs = jnp.stack(chunks)
+        q_lde = nttmod.coset_lde(q_coeffs, rate_bits)
+        q_levels = _merkle_levels(q_lde.T, cap_height)
+        q_cap = q_levels[-1]
+        ch.observe_array(q_cap)
+        zeta = ch.get_ext_challenge()
+
+        zeta_next = ext_mul(zeta[None, :],
+                            jnp.asarray(np.array([[omega, 0]],
+                                                 dtype=np.uint64)))[0]
+        powers = _ext_powers(zeta, n)
+        powers_next = _ext_powers(zeta_next, n)
+        evs = {
+            "cs_ev": _ext_dot(cs_coeffs, powers),
+            "w_ev": _ext_dot(w_coeffs, powers),
+            "zsp_ev": _ext_dot(z_coeffs, powers),
+            "q_ev": _ext_dot(q_coeffs, powers),
+            "zs_next_ev": _ext_dot(z_coeffs[:nc], powers_next),
+        }
+        for key in ("cs_ev", "w_ev", "zsp_ev", "q_ev", "zs_next_ev"):
+            ch.observe_array(evs[key])
+        fri_alpha = ch.get_ext_challenge()
+        return (ch.state, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap,
+                evs)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
+                    cap_height: int, arities: tuple, final_len: int):
+    """Program 3: combine into F(x), the whole FRI commit phase, and the
+    final polynomial; challenger through the per-layer betas."""
+    import jax  # noqa: F401
+    m = 1 << (degree_bits + rate_bits)
+    shift0 = field.MULTIPLICATIVE_GROUP_GENERATOR
+
+    def fn(ch_state, cs_lde, w_lde, z_lde, q_lde, evs, zeta, zeta_next,
+           fri_alpha, xs):
+        jnp = _jnp()
+        ch = DeviceChallenger(ch_state)   # first action is an observe
+
+        all_rows = jnp.concatenate([cs_lde, w_lde, z_lde, q_lde], axis=0)
+        ys1 = jnp.concatenate([evs["cs_ev"], evs["w_ev"], evs["zsp_ev"],
+                               evs["q_ev"]], axis=0)
+
+        def _foldsum(x):
+            """Pairwise mod-p sum over axis 0 -> (m,)."""
+            while x.shape[0] > 1:
+                h = int(x.shape[0]) // 2
+                head = field.add(x[:h], x[h:2 * h])
+                if int(x.shape[0]) % 2:
+                    head = jnp.concatenate([head, x[2 * h:]], axis=0)
+                x = head
+            return x[0]
+
+        def combine(rows_arr, ys):
+            """sum_j alpha^j (rows[j] - ys[j]) as a powers-weighted chunked
+            sum.  Identical values to the Horner fold (mod-p addition is
+            associative), but ~20x fewer / shallower traced ops — the
+            ~250-step sequential Horner chain made the XLA optimizer take
+            tens of minutes on this module.  The y.a1 component is constant
+            along the domain, so its contribution folds to one scalar."""
+            k = int(rows_arr.shape[0])
+            pw = _ext_powers(fri_alpha, k)                     # (k, 2)
+            neg_y1 = field.neg(ys[:, 1])                       # (k,)
+            # scalar parts: sum_j W*pw1_j*(-y1_j) and sum_j pw0_j*(-y1_j)
+            s0 = field.mul_small(field.mul(pw[:, 1], neg_y1), W)
+            s1 = field.mul(pw[:, 0], neg_y1)
+            while s0.shape[0] > 1:
+                h = int(s0.shape[0]) // 2
+                head0 = field.add(s0[:h], s0[h:2 * h])
+                head1 = field.add(s1[:h], s1[h:2 * h])
+                if int(s0.shape[0]) % 2:
+                    head0 = jnp.concatenate([head0, s0[2 * h:]])
+                    head1 = jnp.concatenate([head1, s1[2 * h:]])
+                s0, s1 = head0, head1
+            a0 = jnp.zeros(m, dtype=jnp.uint64)
+            a1 = jnp.zeros(m, dtype=jnp.uint64)
+            step = 32
+            for s in range(0, k, step):
+                e = min(k, s + step)
+                diff0 = field.sub(rows_arr[s:e], ys[s:e, 0][:, None])
+                a0 = field.add(a0, _foldsum(field.mul(pw[s:e, 0][:, None],
+                                                      diff0)))
+                a1 = field.add(a1, _foldsum(field.mul(pw[s:e, 1][:, None],
+                                                      diff0)))
+            return jnp.stack([field.add(a0, s0[0]),
+                              field.add(a1, s1[0])], axis=-1)
+
+        r1 = combine(all_rows, ys1)
+        f_vals = ext_mul(r1, _ext_inv_vec_dev(_ext_const_sub_dev(xs, zeta)))
+        r2 = combine(z_lde[:nc], evs["zs_next_ev"])
+        shift_ext = jnp.asarray(np.array([1, 0], dtype=np.uint64))
+        e = int(all_rows.shape[0])
+        base = fri_alpha
+        while e:
+            if e & 1:
+                shift_ext = ext_mul(shift_ext[None, :], base[None, :])[0]
+            e >>= 1
+            if e:
+                base = ext_mul(base[None, :], base[None, :])[0]
+        term2 = ext_mul(r2, _ext_inv_vec_dev(_ext_const_sub_dev(xs, zeta_next)))
+        current = field.add(f_vals,
+                            ext_mul(jnp.broadcast_to(shift_ext, (m, 2)), term2))
+
+        cur_log, cur_shift = degree_bits + rate_bits, shift0
+        layer_values, fri_levels = [], []
+        for a_bits in arities:
+            eff_cap = min(cap_height, cur_log - a_bits)
+            layer_values.append(current)
+            mm = int(current.shape[0])
+            a = 1 << a_bits
+            leaves = current.reshape(a, mm // a, 2).transpose(1, 0, 2) \
+                .reshape(mm // a, a * 2)
+            levels = _merkle_levels(leaves, eff_cap)
+            fri_levels.append(levels)
+            ch.observe_array(levels[-1])
+            beta = ch.get_ext_challenge()
+            b = beta
+            for _ in range(a_bits):
+                current = _fold_binary_dev(current, b, cur_log, cur_shift)
+                b = ext_mul(b[None, :], b[None, :])[0]
+                cur_shift = cur_shift * cur_shift % P
+                cur_log -= 1
+
+        final_c0 = nttmod.coset_intt(current[:, 0], shift=cur_shift)
+        final_c1 = nttmod.coset_intt(current[:, 1], shift=cur_shift)
+        for i in range(final_len):
+            ch.observe_element(final_c0[i])
+            ch.observe_element(final_c1[i])
+        del ch  # state not needed further: host replay covers PoW + queries
+        return layer_values, fri_levels, final_c0, final_c1
+
+    return jax.jit(fn)
+
+
+class _QueryOracle:
+    """Minimal oracle view for gather_query_rounds: LDE rows + tree."""
+
+    def __init__(self, lde_values, tree):
+        self.lde_values = lde_values
+        self.tree = tree
+
+
+def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
+    """prove_device with the fused three-program pipeline (see section
+    comment above; challenger state flows device-to-device, one host
+    transfer total).  Transcript-identical to prover.prove."""
+    jnp = _jnp()
+    common = circuit_data.common
+    po = circuit_data.prover_only
+    vo = circuit_data.verifier_only
+    config = common.config
+    fri_cfg = config.fri_config
+    n = common.degree
+    m = common.lde_size
+    nc = config.num_challenges
+    r_wires = config.num_routed_wires
+    rate_bits = fri_cfg.rate_bits
+    cap_height = fri_cfg.cap_height
+    arities = tuple(fri_cfg.reduction_arity_bits(common.degree_bits))
+    final_domain = m >> sum(arities)
+    final_len = min(final_domain, 1 << fri_cfg.final_poly_max_degree_bits)
+
+    # witness (host VM) + public inputs
+    w = host_prover._run_generators(circuit_data, pw)
+    from .witness import VectorWitness
+    if not isinstance(w, VectorWitness) or any(
+            isinstance(root, tuple) and root[0] == "c" for root in w._side):
+        return prove_device_staged(circuit_data, pw, _witness=w)
+    pi_values = []
+    for t in po.public_inputs:
+        v = w.get_target(t)
+        if v is None:
+            raise RuntimeError(f"public input target {t} was never set")
+        pi_values.append(v)
+    pi_hash = poseidon.hash_no_pad_scalar(pi_values) if pi_values \
+        else np.zeros(4, dtype=np.uint64)
+
+    vg = po.vec_gen
+    dev_wm = getattr(po, "_device_wm", None)
+    if dev_wm is None:
+        dev_wm = (jnp.asarray(vg["wm_ids"].astype(np.int32)),
+                  jnp.asarray(vg["wm_cols"].astype(np.int32)),
+                  jnp.asarray(vg["wm_rows"].astype(np.int32)))
+        po._device_wm = dev_wm
+    dev_cache = getattr(po, "_device_tables", None)
+    if dev_cache is None:
+        dev_cache = {
+            "tags": jnp.asarray(_domain_tags(n, common.k_is)),
+            "sigmas": jnp.asarray(po.sigmas),
+            "xs": jnp.asarray(coset_points(common.lde_bits,
+                                           field.MULTIPLICATIVE_GROUP_GENERATOR)),
+        }
+        po._device_tables = dev_cache
+    cs_dev = _upload_batch(po.constants_sigmas_batch)
+    num_sel = common.selectors.shape[0]
+
+    p1 = _stage_mono_commit(r_wires, config.num_wires, nc,
+                            common.degree_bits, rate_bits, cap_height)
+    (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
+     w_cap, z_cap, closure) = p1(
+        jnp.asarray(w.V), jnp.asarray(w.K), *dev_wm,
+        dev_cache["sigmas"], dev_cache["tags"],
+        jnp.asarray(vo.circuit_digest), jnp.asarray(pi_hash))
+
+    p2 = _stage_mono_quotient(num_sel, r_wires, config.num_wires, nc,
+                              tuple(common.k_is), common.degree_bits,
+                              rate_bits, cap_height)
+    (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs) = p2(
+        st1, chal, jnp.asarray(cs_dev.coeffs),
+        jnp.asarray(cs_dev.lde_values), w_coeffs, w_lde, z_coeffs, z_lde,
+        dev_cache["xs"], jnp.asarray(pi_hash))
+
+    p3 = _stage_mono_fri(nc, common.degree_bits, rate_bits, cap_height,
+                         arities, final_len)
+    layer_values, fri_levels, final_c0, final_c1 = p3(
+        st2, jnp.asarray(cs_dev.lde_values), w_lde, z_lde, q_lde, evs,
+        zeta, zeta_next, fri_alpha, dev_cache["xs"])
+
+    pieces = {"w_cap": w_cap, "z_cap": z_cap, "q_cap": q_cap,
+              "final_c0": final_c0, "final_c1": final_c1,
+              "closure": closure, **evs}
+    for li in range(len(arities)):
+        pieces[f"fri_cap_{li}"] = fri_levels[li][-1]
+    layout = _mono_blob_layout(num_sel, r_wires, config.num_wires, nc,
+                               common.degree_bits, rate_bits, cap_height,
+                               arities)
+    blob = jnp.concatenate([pieces[name].reshape(-1).astype(jnp.uint64)
+                            for name, _ in layout])
+    parsed = _parse_blob(np.asarray(blob), layout)   # ONE transfer
+    if not (parsed["closure"] == 1).all():
+        raise AssertionError("permutation product does not close")
+
+    def to_ext(arr):
+        return [ExtensionField(int(a), int(b)) for a, b in arr]
+
+    num_chunks = r_wires // CHUNK
+    zsp_evals = to_ext(parsed["zsp_ev"])
+    openings = OpeningSet(
+        constants_sigmas=to_ext(parsed["cs_ev"]),
+        wires=to_ext(parsed["w_ev"]),
+        zs=zsp_evals[:nc], partials=zsp_evals[nc:],
+        quotient=to_ext(parsed["q_ev"]),
+        zs_next=to_ext(parsed["zs_next_ev"]),
+    )
+    assert all(int(v) == 0 for v in parsed["final_c0"][final_len:]), \
+        "final poly degree too high"
+    assert all(int(v) == 0 for v in parsed["final_c1"][final_len:]), \
+        "final poly degree too high"
+    final_poly = [ExtensionField(int(a), int(b))
+                  for a, b in zip(parsed["final_c0"][:final_len],
+                                  parsed["final_c1"][:final_len])]
+    fri_caps = [parsed[f"fri_cap_{i}"] for i in range(len(arities))]
+
+    # Host transcript replay (device and host challengers are bit-identical;
+    # the host instance carries the state forward into PoW + query sampling).
+    ch = Challenger()
+    ch.observe_hash(vo.circuit_digest)
+    ch.observe_hash(pi_hash)
+    ch.observe_cap(parsed["w_cap"])
+    ch.get_n_challenges(2 * nc)                       # betas, gammas
+    ch.observe_cap(parsed["z_cap"])
+    ch.get_n_challenges(nc)                           # alphas
+    ch.observe_cap(parsed["q_cap"])
+    ch.get_extension_challenge()                      # zeta
+    for e in openings.flat():
+        ch.observe_extension(e)
+    ch.get_extension_challenge()                      # fri_alpha
+    for cap in fri_caps:
+        ch.observe_cap(cap)
+        ch.get_extension_challenge()                  # per-layer beta
+    for coeff in final_poly:
+        ch.observe_extension(coeff)
+
+    pow_witness = _find_pow_witness_device(ch, fri_cfg.proof_of_work_bits)
+    assert check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits)
+
+    n_q = fri_cfg.num_query_rounds
+    indices = [ch.get_challenge() % m for _ in range(n_q)]
+    oracles = [
+        _QueryOracle(cs_dev.lde_values, cs_dev.tree),
+        _QueryOracle(w_lde, MerkleCommitment.from_levels(w_levels, cap_height)),
+        _QueryOracle(z_lde, MerkleCommitment.from_levels(z_levels, cap_height)),
+        _QueryOracle(q_lde, MerkleCommitment.from_levels(q_levels, cap_height)),
+    ]
+    cur_log = common.lde_bits
+    trees = []
+    for li, a_bits in enumerate(arities):
+        eff = min(cap_height, cur_log - a_bits)
+        trees.append(MerkleCommitment.from_levels(fri_levels[li], eff))
+        cur_log -= a_bits
+    query_rounds = gather_query_rounds(indices, oracles, trees,
+                                       list(arities), layer_values)
+
+    fri_proof = FriProof(commit_caps=fri_caps, final_poly=final_poly,
+                         pow_witness=pow_witness, query_rounds=query_rounds)
+    proof = Proof(wires_cap=parsed["w_cap"], zs_partial_cap=parsed["z_cap"],
+                  quotient_cap=parsed["q_cap"], openings=openings,
+                  fri=fri_proof)
+    return ProofWithPublicInputs(proof=proof, public_inputs=pi_values)
 
 
 # ---------------------------------------------------------------------------
@@ -505,8 +1061,18 @@ def _upload_batch(batch, cache_attr: str = "_device"):
 # ---------------------------------------------------------------------------
 
 def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
-    """Protocol-identical twin of prover.prove with device-resident stages
-    (see module docstring for the stage/sync graph)."""
+    """Protocol-identical twin of prover.prove with device-resident compute.
+
+    Default: the monolithic single-program pipeline (prove_device_mono).
+    PMT_PROVER_MONO=0 falls back to the per-stage pipeline below."""
+    if os.environ.get("PMT_PROVER_MONO", "1") != "0":
+        return prove_device_mono(circuit_data, pw)
+    return prove_device_staged(circuit_data, pw)
+
+
+def prove_device_staged(circuit_data, pw, _witness=None) -> ProofWithPublicInputs:
+    """The per-stage device prover (one jitted program per protocol stage,
+    host challenger between stages — see module docstring for the graph)."""
     import jax
     jnp = _jnp()
 
@@ -524,7 +1090,8 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
     cap_height = fri_cfg.cap_height
 
     # 1-2. witness (host) + public inputs
-    w = host_prover._run_generators(circuit_data, pw)
+    w = _witness if _witness is not None \
+        else host_prover._run_generators(circuit_data, pw)
     pi_values = []
     for t in po.public_inputs:
         v = w.get_target(t)

@@ -44,6 +44,33 @@ def _twiddles(log_n: int, inverse: bool) -> tuple:
     return tuple(tables)
 
 
+def _powers_on_device(xp, base: int, count: int):
+    """[1, base, base^2, ...] built on device by log-doubling (the base is a
+    host constant, so this is ~log2(count) vector multiplies).  Used in
+    traced code instead of baking count-sized tables as XLA constants — a
+    degree-2^15 prover program otherwise carries tens of MB of dense
+    twiddle/power literals, which breaks remote compile helpers."""
+    powers = xp.ones((1,), dtype=xp.uint64)
+    cur = base % field.P
+    k = 1
+    while k < count:
+        step = min(k, count - k)
+        powers = xp.concatenate(
+            [powers, field.mul(powers[:step], xp.uint64(cur))])
+        cur = cur * cur % field.P
+        k += step
+    return powers
+
+
+def _bit_reverse_on_device(xp, log_n: int):
+    n = 1 << log_n
+    idx = xp.arange(n, dtype=xp.int64)
+    rev = xp.zeros(n, dtype=xp.int64)
+    for b in range(log_n):
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
+    return rev
+
+
 def ntt(values, inverse: bool = False):
     """NTT over the size-N multiplicative subgroup; (..., N) uint64 array.
 
@@ -58,11 +85,23 @@ def ntt(values, inverse: bool = False):
     if log_n == 0:
         return values
 
-    rev = _bit_reverse_indices(log_n)
-    x = values[..., xp.asarray(rev)]
+    if xp is np:
+        rev = _bit_reverse_indices(log_n)
+        stage_tw = lambda s: xp.asarray(_twiddles(log_n, inverse)[s])  # noqa: E731
+    else:
+        # traced path: build tables on device (stage-s twiddles are a
+        # strided slice of the full root-power table)
+        rev = _bit_reverse_on_device(xp, log_n)
+        g = field.primitive_root_of_unity(log_n)
+        if inverse:
+            g = field.h_inverse(g)
+        full = _powers_on_device(xp, g, max(n // 2, 1))
+        stage_tw = lambda s: full[::n >> (s + 1)][:1 << s]             # noqa: E731
+
+    x = values[..., rev if xp is np else xp.asarray(rev)]
     for s in range(log_n):
         half = 1 << s
-        tw = xp.asarray(_twiddles(log_n, inverse)[s])
+        tw = stage_tw(s)
         y = x.reshape(values.shape[:-1] + (n // (2 * half), 2, half))
         a = y[..., 0, :]
         b = field.mul(y[..., 1, :], tw)
@@ -87,12 +126,16 @@ def coset_lde(coeffs, rate_bits: int, shift: int = field.MULTIPLICATIVE_GROUP_GE
     n = int(coeffs.shape[-1])
     big_n = n << rate_bits
     # scale coefficients by shift^i, then zero-pad
-    powers = np.empty(n, dtype=np.uint64)
-    acc = 1
-    for i in range(n):
-        powers[i] = acc
-        acc = acc * shift % field.P
-    scaled = field.mul(coeffs, xp.asarray(powers))
+    if xp is np:
+        powers = np.empty(n, dtype=np.uint64)
+        acc = 1
+        for i in range(n):
+            powers[i] = acc
+            acc = acc * shift % field.P
+        powers = xp.asarray(powers)
+    else:
+        powers = _powers_on_device(xp, shift, n)
+    scaled = field.mul(coeffs, powers)
     padded = xp.zeros(coeffs.shape[:-1] + (big_n,), dtype=xp.uint64)
     if xp is np:
         padded[..., :n] = scaled
@@ -109,12 +152,16 @@ def coset_intt(evals, rate_bits_unused: int = 0,
     n = int(evals.shape[-1])
     coeffs = intt(evals)
     inv_shift = field.h_inverse(shift)
-    powers = np.empty(n, dtype=np.uint64)
-    acc = 1
-    for i in range(n):
-        powers[i] = acc
-        acc = acc * inv_shift % field.P
-    return field.mul(coeffs, xp.asarray(powers))
+    if xp is np:
+        powers = np.empty(n, dtype=np.uint64)
+        acc = 1
+        for i in range(n):
+            powers[i] = acc
+            acc = acc * inv_shift % field.P
+        powers = xp.asarray(powers)
+    else:
+        powers = _powers_on_device(xp, inv_shift, n)
+    return field.mul(coeffs, powers)
 
 
 def evaluate_poly(coeffs, x: int) -> int:

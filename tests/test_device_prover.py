@@ -58,12 +58,46 @@ def merkle_case():
 
 
 def test_device_prover_transcript_parity(merkle_case):
-    """Device orchestrator == numpy prover, byte for byte."""
+    """Device orchestrator (mono pipeline) == numpy prover, byte for byte."""
     data, pw = merkle_case
     p_np = host_prover.prove(data, pw)
     p_dev = dev_prover.prove_device(data, pw)
     data.verify(p_dev)
     assert _proof_bytes(p_np) == _proof_bytes(p_dev)
+
+
+def test_device_prover_staged_transcript_parity(merkle_case, monkeypatch):
+    """The per-stage fallback pipeline stays transcript-identical too."""
+    monkeypatch.setenv("PMT_PROVER_MONO", "0")
+    data, pw = merkle_case
+    p_np = host_prover.prove(data, pw)
+    p_dev = dev_prover.prove_device(data, pw)
+    data.verify(p_dev)
+    assert _proof_bytes(p_np) == _proof_bytes(p_dev)
+
+
+def test_device_challenger_parity():
+    """DeviceChallenger (lazy scan duplex) == host Challenger on an
+    arbitrary observe/squeeze schedule, including buffer-edge cases
+    (multiple-of-RATE absorbs, >RATE consecutive squeezes)."""
+    import jax.numpy as jnp
+    from plonky2_merkle_trees_tpu.plonk.challenger import Challenger
+
+    rng = np.random.default_rng(3)
+    script = [("obs", 4), ("obs", 64), ("sq", 4), ("obs", 3), ("sq", 2),
+              ("obs", 526), ("sq", 2), ("obs", 16), ("sq", 9), ("sq", 1),
+              ("obs", 8), ("sq", 2), ("sq", 8)]
+    h = Challenger()
+    d = dev_prover.DeviceChallenger()
+    for kind, k in script:
+        if kind == "obs":
+            vals = rng.integers(0, field.P, size=k, dtype=np.uint64)
+            for v in vals:
+                h.observe_element(int(v))
+            d.observe_array(jnp.asarray(vals))
+        else:
+            assert [h.get_challenge() for _ in range(k)] == \
+                [int(d.get_challenge()) for _ in range(k)]
 
 
 def test_device_prover_mmr_circuit():
