@@ -1,27 +1,32 @@
-"""Device-resident prover: the same protocol as prover.prove, with every
-bulk stage compiled to ONE XLA program and all polynomial data living on the
-accelerator between stages.
+"""Device-resident prover: the same protocol as prover.prove, fused into
+THREE jitted XLA programs with an on-device Fiat-Shamir sponge and all
+polynomial data living on the accelerator end to end.
 
 Motivation (measured on the target host): the machine driving the TPU has a
 single weak CPU core (~13k vectorised-numpy Poseidon permutes/s) while the
 chip does ~34M/s; the tunnel costs ~30 ms per synchronous round trip and
-~50 MB/s per transfer.  So the prover must (a) keep the wire/LDE matrices on
-device, (b) cross the host boundary only where the Fiat-Shamir transcript
-needs scalar values (caps, openings, challenges), and (c) batch every FRI
-query gather.  Host keeps: witness generation, the challenger (native C++
-Poseidon), index math.
+~50 MB/s per transfer; each jitted program costs ~40 s of executable load
+per fresh process even on persistent-cache hits.  So the prover must
+(a) keep the wire/LDE matrices on device, (b) avoid host syncs entirely
+(the challenger runs on device — its observe/squeeze sequence is static
+per circuit shape), and (c) use as FEW programs as the remote compile
+helper tolerates.  Host keeps: the C++ witness VM, the final transcript
+replay, PoW + query assembly.
 
-Stage graph (H = host sync point for the challenger):
+Default program graph (prove_device_mono; one host transfer total):
 
-  wires ──upload──> [intt→LDE→hash→tree] ──cap──H──betas,gammas
-      ratios = [f/g products]            ──ratio_all──H (prefix product)
-      z ──upload──> [partials→intt→LDE→tree] ──cap──H──alphas
-      [eval_combined → /Z_H → intt]      →  quotient batch ──cap──H──zeta
-      [eval at zeta / zeta·omega]        ──openings──H──fri_alpha
-      [combine F(x)]  → FRI: per layer [fold→group→hash→tree] ──cap──H──beta
-      PoW grind on device ──nonce──H ; batched query gathers ──openings──H
+  P1 [wire scatter→intt→LDE→tree | ratios → Z prefix-scan → zsp commit
+      | sponge: betas/gammas/alphas]
+  P2 [eval_combined → /Z_H → quotient commit | openings | sponge: zeta,
+      fri_alpha]
+  P3 [combine F(x) → all FRI layers (commit→beta→fold) → final poly]
+  ── blob fetch ── host transcript replay ── device PoW ── query gathers
 
-Every jitted stage is cached per (shapes, static params) by jax.jit itself;
+PMT_PROVER_MONO=0 selects the older per-stage pipeline (one program and
+one host challenger sync per protocol stage) — kept as a fallback and for
+A/B testing.
+
+Every jitted program is cached per (shapes, static params) by jax.jit;
 the package-level persistent compilation cache makes the first process pay
 the XLA compile at most once per circuit shape.
 
