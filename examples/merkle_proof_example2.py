@@ -14,7 +14,8 @@ import numpy as np
 
 import plonky2_merkle_trees_tpu as pmt
 from plonky2_merkle_trees_tpu import field
-from plonky2_merkle_trees_tpu.circuits import verify_merkle_proof_circuit_and_proof
+from plonky2_merkle_trees_tpu.circuits import (
+    verify_merkle_proof_circuit_and_proof, verify_merkle_proof_chain_uniform)
 from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig
 
 
@@ -32,6 +33,18 @@ def main():
     final_data.verify(final_proof)
     print("chained", len(merkle_proof), "recursive proofs; root public inputs:",
           [int(v) for v in final_proof.public_inputs])
+
+    # The shape-stable variant proves the SAME statement chain but reuses
+    # one compiled circuit for every level >= 2 (three shapes total for any
+    # depth) — the form that scales on an accelerator, where each new
+    # circuit shape costs a compile.
+    u_data, u_proof = verify_merkle_proof_chain_uniform(
+        index, tree.tree[0][index], merkle_proof, in_between,
+        config=CircuitConfig.test_config())
+    u_data.verify(u_proof)
+    assert [int(v) for v in u_proof.public_inputs] == \
+        [int(v) for v in final_proof.public_inputs]
+    print("uniform chain reaches the same root with 3 circuit shapes")
 
 
 if __name__ == "__main__":

@@ -100,3 +100,156 @@ def verify_merkle_proof_circuit_and_proof(leaf_index: int, leaf_value,
         final_circuit = next_data
 
     return final_circuit, prev_proof
+
+
+# ---------------------------------------------------------------------------
+# Shape-stable chain: THREE circuit shapes for a chain of ANY depth
+# ---------------------------------------------------------------------------
+#
+# The reference chain (above) bakes the sibling side into every step and
+# verifies a different-shaped inner circuit at every level, so each tree
+# level is a brand-new circuit shape — no compiled-program reuse, and the
+# device prover's per-shape compile cost is paid log2(N) times.
+#
+# The in-circuit verifier (plonk/recursion.py:verify_proof_circuit) depends
+# only on the inner circuit's STRUCTURE: (config, degree_bits,
+# num_public_inputs) — the circuit digest and constants/sigmas cap enter as
+# witness.  So one "uniform" step circuit built against a synthetic common
+# of its own degree D verifies ANY degree-D 4-PI proof, including its own
+# previous instance.  The chain becomes:
+#
+#   init (tiny)  →  step1 (degree D, verifies init)  →  uniform × (L-2)
+#
+# with D found as a fixpoint (pad the circuit to degree D; D is the
+# smallest power of two that fits the verifier of a degree-D proof).  The
+# sibling side is a runtime-muxed bool witness, not baked.
+
+
+def _synthetic_common(config: CircuitConfig, degree_bits: int,
+                      num_public_inputs: int = 4):
+    """A CommonCircuitData carrying only the structural fields the
+    in-circuit verifier consumes (see plonk/recursion.py:485 — selectors /
+    gate constants are opened from the witness, never read at build)."""
+    import numpy as np
+    from .. import field
+    from ..plonk.circuit_data import CommonCircuitData
+    from ..plonk.gates import GATE_REGISTRY
+    k_is = [pow(field.MULTIPLICATIVE_GROUP_GENERATOR, i, field.P)
+            for i in range(config.num_routed_wires)]
+    num_sel = len(GATE_REGISTRY)
+    return CommonCircuitData(
+        config=config, degree_bits=degree_bits,
+        selectors=np.zeros((num_sel, 1), dtype=np.uint64),
+        gate_constants=np.zeros((2, 1), dtype=np.uint64),
+        k_is=k_is, num_public_inputs=num_public_inputs)
+
+
+def chain_step_circuit(inner_common, config: CircuitConfig = None,
+                       min_degree_bits: int = None):
+    """One muxed-side chain step: verifies the previous proof, connects its
+    public digest to this level's input, hashes with the sibling on the
+    side selected by a runtime bool (1 = sibling on the right).
+
+    Returns (circuit_data, prev_proof_target, prev_verifier_data_target,
+    sibling_target, side_bit_target)."""
+    builder = CircuitBuilder(config or CircuitConfig.standard_recursion_config())
+
+    prev_proof_target = builder.add_virtual_proof_with_pis(inner_common)
+    prev_vdata = builder.add_virtual_verifier_data(
+        inner_common.config.fri_config.cap_height)
+    input_hash = HashOutTarget(list(prev_proof_target.public_inputs[0:4]))
+    builder.verify_proof(prev_proof_target, prev_vdata, inner_common)
+
+    sibling = builder.add_virtual_hash()
+    side_right = builder.add_virtual_bool_target_safe()
+    left = [builder.select(side_right, input_hash.elements[i],
+                           sibling.elements[i]) for i in range(4)]
+    right = [builder.select(side_right, sibling.elements[i],
+                            input_hash.elements[i]) for i in range(4)]
+    digest = builder.hash_or_noop(left + right)
+    builder.register_public_inputs(digest.elements)
+
+    return (builder.build(min_degree_bits=min_degree_bits),
+            prev_proof_target, prev_vdata, sibling, side_right)
+
+
+_UNIFORM_CACHE = {}
+
+
+def uniform_chain_circuits(config: CircuitConfig = None):
+    """Build (once per config) the three shapes of the shape-stable chain.
+
+    Returns a dict with:
+      init:    (circuit_data, [left_t, right_t])
+      step1:   (circuit_data, proof_t, vdata_t, sibling_t, side_t)
+      uniform: (circuit_data, proof_t, vdata_t, sibling_t, side_t)
+      degree_bits: the fixpoint degree D
+    """
+    config = config or CircuitConfig.standard_recursion_config()
+    cached = _UNIFORM_CACHE.get(config)
+    if cached is not None:
+        return cached
+
+    init_data, init_targets = initial_proof_circuit(config)
+
+    # fixpoint: smallest D with natural_degree(verify degree-D proof) <= D
+    D = max(init_data.common.degree_bits + 1, 12)
+    while True:
+        probe = chain_step_circuit(_synthetic_common(config, D), config,
+                                   min_degree_bits=D)
+        if probe[0].common.degree_bits == D:
+            uniform = probe
+            break
+        D = probe[0].common.degree_bits
+
+    step1 = chain_step_circuit(init_data.common, config, min_degree_bits=D)
+    assert step1[0].common.degree_bits == D, \
+        "step1 outgrew the uniform degree (verifying the tiny init circuit " \
+        "must cost no more than verifying a degree-D proof)"
+
+    bundle = {"init": (init_data, init_targets), "step1": step1,
+              "uniform": uniform, "degree_bits": D}
+    _UNIFORM_CACHE[config] = bundle
+    return bundle
+
+
+def verify_merkle_proof_chain_uniform(leaf_index: int, leaf_value,
+                                      merkle_proof, in_between_hashes,
+                                      config: CircuitConfig = None):
+    """Shape-stable twin of verify_merkle_proof_circuit_and_proof: same
+    statement chain, but every level >= 2 reuses ONE compiled circuit (and
+    level 1 one more), so an N-leaf chain pays 3 circuit shapes instead of
+    log2(N).  Returns (final circuit_data, final proof)."""
+    bundle = uniform_chain_circuits(config)
+    init_data, init_targets = bundle["init"]
+
+    pw = PartialWitness()
+    current_leaf_index = leaf_index
+    if current_leaf_index % 2 == 0:
+        pw.set_hash_target(init_targets[0], leaf_value)
+        pw.set_hash_target(init_targets[1], merkle_proof[0])
+    else:
+        pw.set_hash_target(init_targets[0], merkle_proof[0])
+        pw.set_hash_target(init_targets[1], leaf_value)
+    current_leaf_index //= 2
+    for t, v in zip(init_data.prover_only.public_inputs, in_between_hashes[0]):
+        pw.set_target(t, int(v))
+
+    prev_data = init_data
+    prev_proof = init_data.prove(pw)
+
+    for i in range(1, len(merkle_proof)):
+        data, proof_t, vdata_t, sibling_t, side_t = \
+            bundle["step1"] if i == 1 else bundle["uniform"]
+        current_pw = PartialWitness()
+        current_pw.set_hash_target(sibling_t, merkle_proof[i])
+        current_pw.set_bool_target(side_t, current_leaf_index % 2 == 0)
+        current_pw.set_proof_with_pis_target(proof_t, prev_proof)
+        current_pw.set_verifier_data_target(vdata_t, prev_data.verifier_only)
+        for t, v in zip(data.prover_only.public_inputs, in_between_hashes[i]):
+            current_pw.set_target(t, int(v))
+        prev_proof = data.prove(current_pw)
+        prev_data = data
+        current_leaf_index //= 2
+
+    return prev_data, prev_proof

@@ -349,7 +349,7 @@ class CircuitBuilder:
 
     # -- build -------------------------------------------------------------------------
 
-    def build(self):
+    def build(self, min_degree_bits: int = None):
         from .circuit_data import build_circuit_data
         assert not self._built, "builder already consumed"
         self._built = True
@@ -362,4 +362,4 @@ class CircuitBuilder:
         for i in range(4):
             self._place(pi_digest.elements[i], pi_row, i)
 
-        return build_circuit_data(self)
+        return build_circuit_data(self, min_degree_bits=min_degree_bits)

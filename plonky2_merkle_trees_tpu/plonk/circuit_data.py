@@ -297,12 +297,17 @@ def _build_witness_program(vg):
             "cons_off": cons_off, "cons_idx": instr_s.astype(np.int32)}
 
 
-def build_circuit_data(builder) -> CircuitData:
+def build_circuit_data(builder, min_degree_bits: int = None) -> CircuitData:
     from .commitment import PolynomialBatch
 
     config = builder.config
     num_rows_used = len(builder.rows)
     degree_bits = max(MIN_ROWS_BITS, (num_rows_used - 1).bit_length())
+    if min_degree_bits is not None:
+        # pad with noop rows to a target degree — lets circuits of different
+        # contents share one SHAPE (the uniform recursion chain needs the
+        # inner and outer degrees to agree at a fixpoint)
+        degree_bits = max(degree_bits, min_degree_bits)
     n = 1 << degree_bits
     rows = list(builder.rows) + [(NoopGate(), (0, 0))] * (n - num_rows_used)
 

@@ -874,8 +874,20 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
     final_domain = m >> sum(arities)
     final_len = min(final_domain, 1 << fri_cfg.final_poly_max_degree_bits)
 
+    import time as _time
+    _trace = os.environ.get("PMT_DEVICE_TRACE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _tp(label):
+        nonlocal _t0
+        if _trace:
+            now = _time.perf_counter()
+            print(f"  [mono] {label}: {now - _t0:.3f}s")
+            _t0 = now
+
     # witness (host VM) + public inputs
     w = host_prover._run_generators(circuit_data, pw)
+    _tp("witness")
     from .witness import VectorWitness
     if not isinstance(w, VectorWitness) or any(
             isinstance(root, tuple) and root[0] == "c" for root in w._side):
@@ -908,6 +920,7 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
     cs_dev = _upload_batch(po.constants_sigmas_batch)
     num_sel = common.selectors.shape[0]
 
+    _tp("setup")
     p1 = _stage_mono_commit(r_wires, config.num_wires, nc,
                             common.degree_bits, rate_bits, cap_height)
     (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
@@ -929,6 +942,7 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
     layer_values, fri_levels, final_c0, final_c1 = p3(
         st2, jnp.asarray(cs_dev.lde_values), w_lde, z_lde, q_lde, evs,
         zeta, zeta_next, fri_alpha, dev_cache["xs"])
+    _tp("dispatch p1-p3")
 
     pieces = {"w_cap": w_cap, "z_cap": z_cap, "q_cap": q_cap,
               "final_c0": final_c0, "final_c1": final_c1,
@@ -941,6 +955,7 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
     blob = jnp.concatenate([pieces[name].reshape(-1).astype(jnp.uint64)
                             for name, _ in layout])
     parsed = _parse_blob(np.asarray(blob), layout)   # ONE transfer
+    _tp("device compute + blob fetch")
     if not (parsed["closure"] == 1).all():
         raise AssertionError("permutation product does not close")
 
@@ -985,8 +1000,10 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
     for coeff in final_poly:
         ch.observe_extension(coeff)
 
+    _tp("parse + replay")
     pow_witness = _find_pow_witness_device(ch, fri_cfg.proof_of_work_bits)
     assert check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits)
+    _tp("pow grind")
 
     n_q = fri_cfg.num_query_rounds
     indices = [ch.get_challenge() % m for _ in range(n_q)]
@@ -1004,6 +1021,7 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
         cur_log -= a_bits
     query_rounds = gather_query_rounds(indices, oracles, trees,
                                        list(arities), layer_values)
+    _tp("query gathers")
 
     fri_proof = FriProof(commit_caps=fri_caps, final_poly=final_poly,
                          pow_witness=pow_witness, query_rounds=query_rounds)

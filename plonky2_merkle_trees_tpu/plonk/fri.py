@@ -151,15 +151,88 @@ def check_pow(challenger: Challenger, nonce: int, pow_bits: int) -> bool:
 
 # -- query phase (shared between the numpy and device provers) ----------------------
 
+def _gather_traced(idx, oracle_ldes, oracle_levels, layer_vals,
+                   layer_levels, arities):
+    """Traced body of the fully-jitted gather: every oracle row, tree path,
+    layer coset and layer path flattened into ONE output vector.  Shapes are
+    static; only the query indices are data."""
+    import jax.numpy as jnp
+    pieces = []
+
+    def tree_paths(inner, rows):
+        out = []
+        sel = rows
+        for level in inner:
+            out.append(level[sel ^ 1])
+            sel = sel // 2
+        return jnp.concatenate(out, axis=0) if out \
+            else jnp.zeros((0, 4), dtype=jnp.uint64)
+
+    for lde, levels in zip(oracle_ldes, oracle_levels):
+        pieces.append(lde[:, idx].T)
+        pieces.append(tree_paths(levels, idx))
+    rows = idx
+    for vals, levels, a_bits in zip(layer_vals, layer_levels, arities):
+        m_next = int(vals.shape[0]) >> a_bits
+        rows = rows % m_next
+        gidx = rows[:, None] + \
+            (jnp.arange(1 << a_bits, dtype=jnp.int64) * m_next)[None, :]
+        pieces.append(vals[gidx.reshape(-1)])
+        pieces.append(tree_paths(levels, rows))
+    return jnp.concatenate([p.reshape(-1).astype(jnp.uint64) for p in pieces])
+
+
+@lru_cache(maxsize=1)
+def _gather_jit():
+    import jax
+    return jax.jit(_gather_traced, static_argnames=("arities",))
+
+
 def gather_query_rounds(indices, oracles, trees, layer_arities,
                         layer_values) -> List["FriQueryRound"]:
     """Open every oracle leaf row, oracle tree path, layer coset and layer
-    tree path at the query indices.  All device-resident gathers are queued
-    first and fetched in ONE host transfer — per-tree syncs cost ~0.25s each
-    through a remote-TPU tunnel.  Host-resident (numpy) arrays pass through
-    untouched, so the numpy prover shares this implementation verbatim."""
+    tree path at the query indices.
+
+    When everything is device-resident the whole gather runs as ONE jitted
+    program with the indices as a traced input (one dispatch + one
+    transfer; the eager per-level gathers cost ~0.8s of tunnel round trips
+    per prove).  Otherwise device pieces are queued eagerly and fetched in
+    one transfer; host-resident (numpy) arrays pass through untouched, so
+    the numpy prover shares this implementation verbatim."""
     n_q = len(indices)
     idx_np = np.asarray([int(i) for i in indices], dtype=np.int64)
+
+    all_device = all(
+        field._xp(o.lde_values) is not np
+        and all(field._xp(lv) is not np for lv in o.tree.levels)
+        for o in oracles) and all(
+        field._xp(v) is not np for v in layer_values) and all(
+        all(field._xp(lv) is not np for lv in t.levels) for t in trees)
+    if all_device and oracles:
+        import jax.numpy as jnp
+        flat = np.asarray(_gather_jit()(
+            jnp.asarray(idx_np),
+            [o.lde_values for o in oracles],
+            [o.tree.levels[:-1] for o in oracles],
+            list(layer_values),
+            [t.levels[:-1] for t in trees],
+            arities=tuple(layer_arities)))
+        # mirror the traced piece order/shapes to slice the flat result
+        shapes = []
+        for o in oracles:
+            shapes.append((n_q, int(o.lde_values.shape[0])))
+            shapes.append(((len(o.tree.levels) - 1) * n_q, 4))
+        for t, a_bits in zip(trees, layer_arities):
+            shapes.append((n_q * (1 << a_bits), 2))
+            shapes.append(((len(t.levels) - 1) * n_q, 4))
+        fetched, off = [], 0
+        for s in shapes:
+            size = int(np.prod(s))
+            fetched.append(flat[off:off + size].reshape(s))
+            off += size
+        return _assemble_query_rounds(indices, oracles, trees, layer_arities,
+                                      fetched)
+
     pieces = []
 
     def queue(arr) -> int:
@@ -218,17 +291,32 @@ def gather_query_rounds(indices, oracles, trees, layer_arities,
         if fetched[k] is None:
             fetched[k] = np.asarray(p)
 
+    del oracle_meta, layer_meta  # piece order is canonical; shapes re-derived
+    return _assemble_query_rounds(indices, oracles, trees, layer_arities,
+                                  fetched)
+
+
+def _assemble_query_rounds(indices, oracles, trees, layer_arities, fetched
+                           ) -> List["FriQueryRound"]:
+    """Build FriQueryRound objects from the canonical fetched-piece order:
+    per oracle (rows, paths), then per layer (cosets, paths)."""
+    n_q = len(indices)
+    k = 0
     oracle_rows = []
-    for pi, pj, n_lv in oracle_meta:
-        paths_flat = fetched[pj]
+    for o in oracles:
+        rows_mat, paths_flat = fetched[k], fetched[k + 1]
+        k += 2
+        n_lv = len(o.tree.levels) - 1
         oracle_rows.append(
-            (list(fetched[pi]),
+            (list(rows_mat),
              [[paths_flat[lv * n_q + q] for lv in range(n_lv)]
               for q in range(n_q)]))
     layer_cosets, layer_paths = [], []
-    for pi, pj, n_lv, a_bits in layer_meta:
-        layer_cosets.append(fetched[pi].reshape(n_q, 1 << a_bits, 2))
-        paths_flat = fetched[pj]
+    for t, a_bits in zip(trees, layer_arities):
+        layer_cosets.append(fetched[k].reshape(n_q, 1 << a_bits, 2))
+        paths_flat = fetched[k + 1]
+        k += 2
+        n_lv = len(t.levels) - 1
         layer_paths.append([[paths_flat[lv * n_q + q] for lv in range(n_lv)]
                             for q in range(n_q)])
 

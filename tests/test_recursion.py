@@ -139,3 +139,48 @@ def test_example2_recursive_chain_4_leaves():
         0, tree.tree[0][0], merkle_proof, in_between, config=CFG)
     circuit.verify(proof)
     assert proof.public_inputs == [int(v) for v in tree.root]
+
+
+def test_uniform_chain_8_leaves():
+    """Shape-stable chain: an 8-leaf (depth-3) tree walks init -> step1 ->
+    uniform, where the uniform circuit verifies a proof of its own shape
+    (step1's padded proof at level 2, its own at deeper levels)."""
+    from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
+        uniform_chain_circuits, verify_merkle_proof_chain_uniform)
+
+    leaves = _leaves(8, seed=5)
+    tree = MerkleTree.build(leaves)
+    idx = 5
+    merkle_proof = tree.get_merkle_proof(idx)
+    in_between = tree.get_in_between_hashes(idx)
+
+    circuit, proof = verify_merkle_proof_chain_uniform(
+        idx, tree.tree[0][idx], merkle_proof, in_between, config=CFG)
+    circuit.verify(proof)
+    assert proof.public_inputs == [int(v) for v in tree.root]
+
+    # the three shapes really are three: init, step1, uniform — and the
+    # uniform circuit's inner degree equals its own degree (the fixpoint)
+    bundle = uniform_chain_circuits(CFG)
+    assert bundle["uniform"][0].common.degree_bits == bundle["degree_bits"]
+    assert bundle["step1"][0].common.degree_bits == bundle["degree_bits"]
+
+
+def test_uniform_chain_wrong_root_rejected():
+    """Tampered in-between hash (wrong expected digest PI) must fail."""
+    from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
+        verify_merkle_proof_chain_uniform)
+    from plonky2_merkle_trees_tpu.plonk.witness import WitnessConflict
+
+    leaves = _leaves(8, seed=6)
+    tree = MerkleTree.build(leaves)
+    idx = 2
+    merkle_proof = tree.get_merkle_proof(idx)
+    in_between = tree.get_in_between_hashes(idx)
+    bad = [np.array(h, dtype=np.uint64) for h in in_between]
+    bad[-1] = (bad[-1] + np.uint64(1)) % np.uint64(field.P)
+
+    with pytest.raises((WitnessConflict, AssertionError)):
+        circuit, proof = verify_merkle_proof_chain_uniform(
+            idx, tree.tree[0][idx], merkle_proof, bad, config=CFG)
+        circuit.verify(proof)
