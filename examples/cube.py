@@ -1,5 +1,10 @@
 """'I know x^3' — the smallest end-to-end SNARK (reference examples/cube.rs)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from plonky2_merkle_trees_tpu.plonk import CircuitBuilder, PartialWitness
 from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig
 

@@ -7,6 +7,11 @@ different index means a different circuit); the root is the only public
 input.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import plonky2_merkle_trees_tpu as pmt

@@ -10,6 +10,11 @@ CircuitConfig.standard_recursion_config() for the production parameters.
 See docs/recursion_walkthrough.md for the line-by-line tutorial.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import plonky2_merkle_trees_tpu as pmt

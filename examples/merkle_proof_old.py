@@ -1,6 +1,11 @@
 """Smallest hash-in-circuit demo: two virtual hashes, one in-circuit
 two_to_one, prove (reference examples/merkle_proof_old.rs)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from plonky2_merkle_trees_tpu import MerkleTree, poseidon

@@ -1,6 +1,11 @@
 """Hard-coded 4-leaf / index-0 Merkle-proof circuit, everything public
 (reference examples/merkle_tiny_tree_proof.rs)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from plonky2_merkle_trees_tpu import MerkleTree
 from plonky2_merkle_trees_tpu.plonk import PartialWitness
 from plonky2_merkle_trees_tpu.circuits import verify_merkle_proof_circuit_tiny

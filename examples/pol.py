@@ -1,6 +1,11 @@
 """'I know x^3 - 2x^2 + 7x + 11' (reference examples/pol.rs, same gate calls:
 cube / square / mul_const / add_const / add; NEG_ONE as the -2x^2 trick)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from plonky2_merkle_trees_tpu import field
 from plonky2_merkle_trees_tpu.plonk import CircuitBuilder, PartialWitness
 from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig

@@ -598,14 +598,15 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
     n = 1 << degree_bits
     num_chunks = r_wires // CHUNK
 
-    def fn(V, K, wm_ids, wm_cols, wm_rows, sigmas, tags, circuit_digest,
-           pi_hash):
+    def fn(V, K, wm_gather, sigmas, tags, circuit_digest, pi_hash):
         jnp = _jnp()
         ch = DeviceChallenger()
 
-        vals = jnp.where(K[wm_ids], V[wm_ids], jnp.uint64(0))
-        wires = jnp.zeros((num_wires, n), dtype=jnp.uint64)
-        wires = wires.at[wm_cols, wm_rows].set(vals)
+        # wm_gather[(col, row)] = filling root id, or -1 for empty cells —
+        # a gather (fast on TPU) instead of a 2M-index scatter (slow).
+        g = jnp.maximum(wm_gather, 0)
+        filled = (wm_gather >= 0) & K[g]
+        wires = jnp.where(filled, V[g], jnp.uint64(0))
         w_coeffs = nttmod.intt(wires)
         w_lde = nttmod.coset_lde(w_coeffs, rate_bits)
         w_levels = _merkle_levels(w_lde.T, cap_height)
@@ -902,12 +903,12 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
         else np.zeros(4, dtype=np.uint64)
 
     vg = po.vec_gen
-    dev_wm = getattr(po, "_device_wm", None)
+    dev_wm = getattr(po, "_device_wm_gather", None)
     if dev_wm is None:
-        dev_wm = (jnp.asarray(vg["wm_ids"].astype(np.int32)),
-                  jnp.asarray(vg["wm_cols"].astype(np.int32)),
-                  jnp.asarray(vg["wm_rows"].astype(np.int32)))
-        po._device_wm = dev_wm
+        g_np = np.full((config.num_wires, n), -1, dtype=np.int32)
+        g_np[vg["wm_cols"], vg["wm_rows"]] = vg["wm_ids"].astype(np.int32)
+        dev_wm = jnp.asarray(g_np)
+        po._device_wm_gather = dev_wm
     dev_cache = getattr(po, "_device_tables", None)
     if dev_cache is None:
         dev_cache = {
@@ -925,10 +926,13 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
                             common.degree_bits, rate_bits, cap_height)
     (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
      w_cap, z_cap, closure) = p1(
-        jnp.asarray(w.V), jnp.asarray(w.K), *dev_wm,
+        jnp.asarray(w.V), jnp.asarray(w.K), dev_wm,
         dev_cache["sigmas"], dev_cache["tags"],
         jnp.asarray(vo.circuit_digest), jnp.asarray(pi_hash))
 
+    if _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1":
+        np.asarray(st1)
+        _tp("P1 (blocked)")
     p2 = _stage_mono_quotient(num_sel, r_wires, config.num_wires, nc,
                               tuple(common.k_is), common.degree_bits,
                               rate_bits, cap_height)
@@ -937,6 +941,9 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
         jnp.asarray(cs_dev.lde_values), w_coeffs, w_lde, z_coeffs, z_lde,
         dev_cache["xs"], jnp.asarray(pi_hash))
 
+    if _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1":
+        np.asarray(st2)
+        _tp("P2 (blocked)")
     p3 = _stage_mono_fri(nc, common.degree_bits, rate_bits, cap_height,
                          arities, final_len)
     layer_values, fri_levels, final_c0, final_c1 = p3(
