@@ -233,17 +233,16 @@ def gather_query_rounds(indices, oracles, trees, layer_arities,
         return _assemble_query_rounds(indices, oracles, trees, layer_arities,
                                       fetched)
 
+    # queue pieces in the canonical order _assemble_query_rounds expects:
+    # per oracle (rows, paths), then per layer (cosets, paths)
     pieces = []
-
-    def queue(arr) -> int:
-        pieces.append(arr)
-        return len(pieces) - 1
 
     def queue_tree_paths(tree, rows_np):
         """One (n_levels * n_q, 4) gather for a tree's sibling paths."""
         inner = tree.levels[:-1]
         if not inner:
-            return queue(np.zeros((0, 4), dtype=np.uint64)), 0
+            pieces.append(np.zeros((0, 4), dtype=np.uint64))
+            return
         xp = field._xp(inner[0])
         sel = rows_np.copy()
         gathered = []
@@ -252,17 +251,14 @@ def gather_query_rounds(indices, oracles, trees, layer_arities,
             gathered.append(level[s] if xp is np else level[xp.asarray(s)])
             sel = sel // 2
         cat = np.concatenate if xp is np else xp.concatenate
-        return queue(cat(gathered, axis=0)), len(inner)
+        pieces.append(cat(gathered, axis=0))
 
-    oracle_meta = []
     for oracle in oracles:
         xp = field._xp(oracle.lde_values)
         sel = idx_np if xp is np else xp.asarray(idx_np)
-        oracle_meta.append(
-            (queue(oracle.lde_values[:, sel].T),           # (n_q, num_polys)
-             *queue_tree_paths(oracle.tree, idx_np)))
+        pieces.append(oracle.lde_values[:, sel].T)         # (n_q, num_polys)
+        queue_tree_paths(oracle.tree, idx_np)
 
-    layer_meta = []
     idxs = idx_np
     for tree, a_bits, values in zip(trees, layer_arities, layer_values):
         m_next = int(values.shape[0]) >> a_bits
@@ -271,8 +267,8 @@ def gather_query_rounds(indices, oracles, trees, layer_arities,
             (np.arange(1 << a_bits, dtype=np.int64) * m_next)[None, :]
         xp = field._xp(values)
         sel = gidx.reshape(-1) if xp is np else xp.asarray(gidx.reshape(-1))
-        layer_meta.append((queue(values[sel]),
-                           *queue_tree_paths(tree, rows), a_bits))
+        pieces.append(values[sel])
+        queue_tree_paths(tree, rows)
         idxs = rows
 
     # flush: ONE transfer covering every queued device piece
@@ -291,7 +287,6 @@ def gather_query_rounds(indices, oracles, trees, layer_arities,
         if fetched[k] is None:
             fetched[k] = np.asarray(p)
 
-    del oracle_meta, layer_meta  # piece order is canonical; shapes re-derived
     return _assemble_query_rounds(indices, oracles, trees, layer_arities,
                                   fetched)
 

@@ -25,27 +25,6 @@ from plonky2_merkle_trees_tpu.plonk.witness import PartialWitness
 from plonky2_merkle_trees_tpu.plonk import prover
 
 
-def instrument():
-    orig = prover._run_generators_vec
-    stats = []
-
-    def wrapped(circuit_data, pw):
-        vg = circuit_data.prover_only.vec_gen
-        # re-implement the loop with counters by monkeypatching? simpler:
-        # count passes via a wrapper around _scatter is noisy; instead copy
-        # the readiness probe: run the original but trace sizes via a
-        # closure on np arrays is invasive. We just time it and count
-        # passes by patching the while loop through sys.settrace — too
-        # slow. Instead: temporarily patch field.add? No. We re-run the
-        # function source with a pass counter below.
-        t0 = time.perf_counter()
-        w = orig(circuit_data, pw)
-        stats.append(time.perf_counter() - t0)
-        return w
-    prover._run_generators_vec = wrapped
-    return stats
-
-
 def main():
     rng = np.random.default_rng(7)
     leaves = rng.integers(0, field.P, size=11, dtype=np.uint64)
@@ -84,15 +63,24 @@ def main():
     for t, v in zip(outer.prover_only.public_inputs, root):
         pw2.set_target(t, int(v))
 
-    # Profile witness gen alone, with pass tracing enabled
+    # Profile witness gen alone, with pass tracing enabled.  The native
+    # witness VM bypasses the fixpoint (and its per-pass trace), so run the
+    # traced engine with the program disabled first, then time the VM.
     os.environ["PMT_WITNESS_TRACE"] = "1"
+    vg = outer.prover_only.vec_gen
+    prog = vg.pop("prog", None)
     t0 = time.perf_counter()
     w = prover._run_generators(outer, pw2)
-    print(f"outer witness gen: {time.perf_counter()-t0:.2f}s")
+    print(f"outer witness gen (fixpoint engine): {time.perf_counter()-t0:.2f}s")
+    os.environ.pop("PMT_WITNESS_TRACE")
+    if prog is not None:
+        vg["prog"] = prog
+    t0 = time.perf_counter()
+    w = prover._run_generators(outer, pw2)
+    print(f"outer witness gen (native VM if available): {time.perf_counter()-t0:.2f}s")
     t0 = time.perf_counter()
     wires = prover._wire_matrix(outer, w)
     print(f"outer wire matrix: {time.perf_counter()-t0:.2f}s shape={wires.shape}")
-    os.environ.pop("PMT_WITNESS_TRACE")
 
     t0 = time.perf_counter()
     final = outer.prove(pw2)
