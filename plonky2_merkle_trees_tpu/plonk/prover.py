@@ -26,7 +26,10 @@ def _run_generators(circuit_data, pw):
     po = circuit_data.prover_only
     if po.vec_gen is not None:
         from .. import poseidon as _pm
-        if po.vec_gen["p_in"].shape[0] == 0 or _pm._native():
+        # checkpoint-loaded circuits carry no generator closures — the
+        # vectorised tables are the only engine they have
+        if (po.vec_gen["p_in"].shape[0] == 0 or _pm._native()
+                or not po.generators):
             return _run_generators_vec(circuit_data, pw)
     w = WitnessStore(po.uf_find)
     for t, v in pw.values.items():
@@ -70,7 +73,9 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
     from .. import native
     po = circuit_data.prover_only
     vg = po.vec_gen
-    w = VectorWitness(len(vg["root_id"]), vg["root_id"], po.root_map)
+    w = VectorWitness(vg["n_roots"] if "n_roots" in vg else len(vg["root_id"]),
+                      vg["root_id"], po.root_map,
+                      target_ids=vg.get("target_ids"))
     for t, v in pw.values.items():
         w.set_target(t, v)
 

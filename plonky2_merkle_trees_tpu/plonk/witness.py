@@ -59,19 +59,32 @@ class VectorWitness:
     in a numpy array indexed by build-time root id (witness generation and
     the wire-matrix fill then run as array ops instead of per-cell python).
     Nodes whose roots were never referenced at build time (floating virtual
-    targets) fall back to a side dict."""
+    targets) fall back to a side dict.
 
-    __slots__ = ("V", "K", "_root_id", "_root_map", "_side")
+    ``target_ids`` (optional) is a dense target -> root id array (-1 for
+    unmapped targets); circuits loaded from a checkpoint carry only this
+    compact map instead of the build-time union-find dictionaries."""
 
-    def __init__(self, n_roots: int, root_id: dict, root_map: dict):
+    __slots__ = ("V", "K", "_root_id", "_root_map", "_side", "_tid")
+
+    def __init__(self, n_roots: int, root_id: dict, root_map: dict,
+                 target_ids=None):
         import numpy as np
         self.V = np.zeros(n_roots, dtype=np.uint64)
         self.K = np.zeros(n_roots, dtype=bool)
         self._root_id = root_id
         self._root_map = root_map
         self._side = {}
+        self._tid = target_ids
 
     def _resolve(self, node):
+        if self._tid is not None and node[0] == "t":
+            t = node[1]
+            if t < self._tid.shape[0]:
+                i = int(self._tid[t])
+                if i >= 0:
+                    return i, node
+            return None, node
         root = self._root_map.get(node, node)
         return self._root_id.get(root), root
 
