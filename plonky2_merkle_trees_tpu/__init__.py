@@ -34,8 +34,11 @@ if _cache_dir and _cache_dir != "0":
         jax.config.update("jax_enable_compilation_cache", True)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except OSError:
-        pass  # read-only HOME etc.: degrade to no persistent cache
+    except Exception:
+        # read-only HOME (OSError) or a JAX version lacking one of the
+        # persistent-cache options (AttributeError/ValueError): degrade to
+        # no persistent cache rather than failing the package import.
+        pass
 
 from . import field, poseidon  # noqa: E402
 from .tree import MerkleTree, verify_merkle_proof  # noqa: E402

@@ -370,6 +370,43 @@ class PoseidonGate(Gate):
             setv(_OUT + i, state[i])
 
 
+def poseidon_gate_trace_batch_np(states: np.ndarray) -> np.ndarray:
+    """Pure-numpy batched twin of ``native.poseidon_gate_trace_batch``:
+    (n, 12) gate inputs -> (n, 118) stored wires in POSEIDON_TRACE_COLS
+    order (S1 S2 S3, PR, S26..S29, OUT).
+
+    Fallback for the vectorised witness engine when the native C++ library
+    is unavailable (e.g. checkpoint-loaded circuits on a box with no g++) —
+    same exact mod-p walk as PoseidonGate.fill_row, batched."""
+    from .. import field, poseidon as _pm
+    state = np.ascontiguousarray(states, dtype=np.uint64)
+    n = state.shape[0]
+    seg = {}
+    pr = np.empty((n, PARTIAL_ROUNDS), dtype=np.uint64)
+    stores = {1: "S1", 2: "S2", 3: "S3", 26: "S26", 27: "S27",
+              28: "S28", 29: "S29"}
+    rnd = 0
+    with np.errstate(over="ignore"):
+        for phase, count in ((0, HALF_FULL_ROUNDS), (1, PARTIAL_ROUNDS),
+                             (0, HALF_FULL_ROUNDS)):
+            for _ in range(count):
+                rc = np.array(_rc_row(rnd), dtype=np.uint64)
+                s = field.add(state, rc[None, :])
+                if rnd in stores:
+                    seg[stores[rnd]] = s
+                if phase == 1:
+                    pr[:, rnd - HALF_FULL_ROUNDS] = s[:, 0]
+                    x = s.copy()
+                    x[:, 0] = field.exp7(s[:, 0])
+                else:
+                    x = field.exp7(s)
+                state = _pm._mds_layer(x, np)
+                rnd += 1
+    return np.concatenate(
+        [seg["S1"], seg["S2"], seg["S3"], pr,
+         seg["S26"], seg["S27"], seg["S28"], seg["S29"], state], axis=1)
+
+
 # Registry: selector column per gate type, in this order.
 GATE_REGISTRY = [ArithmeticGate(), ConstantGate(), PublicInputGate(),
                  PoseidonGate(), NoopGate()]

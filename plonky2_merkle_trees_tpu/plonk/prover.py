@@ -141,7 +141,11 @@ def _run_generators_vec(circuit_data, pw) -> VectorWitness:
                 ready = w.K[p_in[idx_p]].all(axis=1)
                 if ready.any():
                     j = idx_p[ready]
-                    traces = native.poseidon_gate_trace_batch(w.V[p_in[j]])
+                    if native.available():
+                        traces = native.poseidon_gate_trace_batch(w.V[p_in[j]])
+                    else:
+                        from .gates import poseidon_gate_trace_batch_np
+                        traces = poseidon_gate_trace_batch_np(w.V[p_in[j]])
                     _scatter(w, p_out[j].reshape(-1), traces.reshape(-1))
                     idx_p = idx_p[~ready]
                     progress = True

@@ -80,18 +80,26 @@ def save_circuit(data, path: str) -> None:
                          "only builder-produced circuits can be saved")
 
     num_sel = common.selectors.shape[0]
+    num_gate_constants = int(common.gate_constants.shape[0])
     pre_values = np.concatenate(
         [common.selectors, common.gate_constants, po.sigmas], axis=0)
 
-    # dense target -> root id map (replaces the union-find dictionaries)
-    t_nodes = [n for n in po.root_map if n[0] == "t"]
-    t_nodes += [n for n in vg["root_id"] if isinstance(n, tuple) and n[0] == "t"]
-    max_t = max((n[1] for n in t_nodes), default=-1) + 1
-    target_ids = np.full(max_t, -1, dtype=np.int64)
-    for t in range(max_t):
-        node = ("t", t)
-        root = po.root_map.get(node, node)
-        target_ids[t] = vg["root_id"].get(root, -1)
+    # dense target -> root id map (replaces the union-find dictionaries).
+    # Checkpoint-LOADED circuits have empty root_map/root_id but already
+    # carry the dense map — reuse it verbatim (re-deriving from the empty
+    # dicts would save a 0-sized store; ADVICE r1).
+    if vg.get("target_ids") is not None and not vg["root_id"]:
+        target_ids = np.asarray(vg["target_ids"], dtype=np.int64)
+    else:
+        t_nodes = [n for n in po.root_map if n[0] == "t"]
+        t_nodes += [n for n in vg["root_id"]
+                    if isinstance(n, tuple) and n[0] == "t"]
+        max_t = max((n[1] for n in t_nodes), default=-1) + 1
+        target_ids = np.full(max_t, -1, dtype=np.int64)
+        for t in range(max_t):
+            node = ("t", t)
+            root = po.root_map.get(node, node)
+            target_ids[t] = vg["root_id"].get(root, -1)
 
     meta = {
         "config": {
@@ -112,9 +120,10 @@ def save_circuit(data, path: str) -> None:
         },
         "degree_bits": common.degree_bits,
         "num_sel": num_sel,
+        "num_gate_constants": num_gate_constants,
         "num_public_inputs": common.num_public_inputs,
         "public_inputs": [int(t) for t in po.public_inputs],
-        "n_roots": len(vg["root_id"]),
+        "n_roots": int(vg.get("n_roots", len(vg["root_id"]))),
         "split_widths": sorted(vg["splits"].keys()),
     }
     arrays = {
@@ -165,10 +174,20 @@ def load_circuit(path: str):
         }))
     degree_bits = meta["degree_bits"]
     num_sel = meta["num_sel"]
+    # Gate-constant row count: stored in the checkpoint (older checkpoints
+    # predate the field and were all written with 2); validate against the
+    # current gate registry so a layout change fails loudly instead of
+    # silently mis-slicing sigmas (ADVICE r1).
+    from .plonk import gates as _gates
+    ngc = int(meta.get("num_gate_constants", 2))
+    if ngc != _gates.NUM_GATE_CONSTANTS:
+        raise ValueError(
+            f"checkpoint has {ngc} gate-constant rows but this build uses "
+            f"{_gates.NUM_GATE_CONSTANTS}; re-save the circuit")
     pre_values = data["pre_values"].astype(np.uint64)
     selectors = pre_values[:num_sel]
-    gate_constants = pre_values[num_sel:num_sel + 2]
-    sigmas = pre_values[num_sel + 2:]
+    gate_constants = pre_values[num_sel:num_sel + ngc]
+    sigmas = pre_values[num_sel + ngc:]
     r_wires = config.num_routed_wires
     k_is = [pow(field.MULTIPLICATIVE_GROUP_GENERATOR, i, field.P)
             for i in range(r_wires)]

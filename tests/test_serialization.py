@@ -82,6 +82,44 @@ def test_circuit_checkpoint_roundtrip(tmp_path):
     assert _proof_bytes(reproved) == _proof_bytes(original)
 
 
+def test_circuit_checkpoint_resave(tmp_path):
+    """save -> load -> save -> load keeps the witness tables intact (a
+    loaded circuit has empty root_map/root_id dicts; the re-save must reuse
+    the dense target map and stored n_roots instead of deriving 0-sized
+    stores — ADVICE r1)."""
+    cfg = CircuitConfig.test_config()
+    data, pw = _mmr_case(cfg)
+    original = data.prove(pw)
+
+    p1 = str(tmp_path / "c1.npz")
+    p2 = str(tmp_path / "c2.npz")
+    save_circuit(data, p1)
+    loaded1 = load_circuit(p1)
+    save_circuit(loaded1, p2)          # re-save of a LOADED circuit
+    loaded2 = load_circuit(p2)
+
+    vg1 = loaded1.prover_only.vec_gen
+    vg2 = loaded2.prover_only.vec_gen
+    assert vg2["n_roots"] == vg1["n_roots"] > 0
+    assert np.array_equal(vg2["target_ids"], vg1["target_ids"])
+    reproved = loaded2.prove(pw)
+    loaded2.verify(reproved)
+    assert _proof_bytes(reproved) == _proof_bytes(original)
+
+
+def test_gate_trace_fallback_matches_native():
+    """The pure-numpy Poseidon gate-trace twin is bit-identical to the C++
+    one (it is the vec-engine fallback when g++ is unavailable)."""
+    from plonky2_merkle_trees_tpu import native
+    from plonky2_merkle_trees_tpu.plonk.gates import poseidon_gate_trace_batch_np
+    rng = np.random.default_rng(7)
+    states = rng.integers(0, field.P, size=(5, 12), dtype=np.uint64)
+    got = poseidon_gate_trace_batch_np(states)
+    assert got.shape == (5, 118)
+    if native.available():
+        assert np.array_equal(got, native.poseidon_gate_trace_batch(states))
+
+
 def test_circuit_checkpoint_device_prover(tmp_path, monkeypatch):
     """A checkpoint-loaded circuit also proves through the fused device
     orchestrator (the serving path) with a byte-identical transcript."""
