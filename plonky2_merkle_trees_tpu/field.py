@@ -213,6 +213,38 @@ def h_inverse(a: int) -> int:
     return pow(a, P - 2, P)
 
 
+def powers_host(base: int, count: int) -> np.ndarray:
+    """[1, base, base^2, ...] as a host uint64 table by log-doubling —
+    ~log2(count) vectorised multiplies instead of an O(count) python loop
+    (the numpy prover's coset/power tables hit this at 2^20-size LDEs)."""
+    out = np.ones(max(count, 1), dtype=np.uint64)
+    cur = base % P
+    k = 1
+    with np.errstate(over="ignore"):
+        while k < count:
+            step = min(k, count - k)
+            out[k:k + step] = mul(out[:step], np.uint64(cur))
+            cur = cur * cur % P
+            k += step
+    return out[:count]
+
+
+def prefix_prod_exclusive(a: np.ndarray) -> np.ndarray:
+    """Exclusive modular prefix product: out[i] = prod_{j<i} a[j] (out[0]=1),
+    via a Hillis-Steele scan — O(N log N) vectorised field muls instead of an
+    O(N) python loop (the permutation argument's Z column)."""
+    n = a.shape[0]
+    z = np.empty(n, dtype=np.uint64)
+    z[0] = 1
+    z[1:] = a[:-1]
+    shift = 1
+    with np.errstate(over="ignore"):
+        while shift < n:
+            z[shift:] = mul(z[shift:], z[:-shift])
+            shift <<= 1
+    return z
+
+
 def primitive_root_of_unity(n_log: int) -> int:
     """Order-2^n_log root of unity (host int)."""
     if n_log > TWO_ADICITY:

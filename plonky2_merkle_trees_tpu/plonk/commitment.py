@@ -169,17 +169,24 @@ class PolynomialBatch:
 def eval_coeffs_at_ext(coeffs: np.ndarray, zeta: ExtensionField) -> List[ExtensionField]:
     """Batched evaluation of (num_polys, N) base coefficients at an ext point.
 
-    Uses a host-computed powers-of-zeta table and log-depth field-summed dot
-    products (sum of products must stay reduced, so fold pairwise)."""
+    Uses a host-computed powers-of-zeta table (log-doubling, vectorised) and
+    log-depth field-summed dot products (sum of products must stay reduced,
+    so fold pairwise)."""
+    from .field_ext import ext_mul
     coeffs = np.asarray(coeffs, dtype=np.uint64)
     num_polys, n = coeffs.shape
-    pow0 = np.empty(n, dtype=np.uint64)
-    pow1 = np.empty(n, dtype=np.uint64)
-    acc = ExtensionField(1)
-    for i in range(n):
-        pow0[i] = acc.a0
-        pow1[i] = acc.a1
-        acc = acc * zeta
+    powers = np.zeros((n, 2), dtype=np.uint64)
+    powers[0, 0] = 1
+    cur = np.array([zeta.a0, zeta.a1], dtype=np.uint64)
+    k = 1
+    with np.errstate(over="ignore"):
+        while k < n:
+            step = min(k, n - k)
+            powers[k:k + step] = ext_mul(
+                powers[:step], np.broadcast_to(cur, (step, 2)))
+            cur = ext_mul(cur[None, :], cur[None, :])[0]
+            k += step
+    pow0, pow1 = powers[:, 0], powers[:, 1]
     res = []
     for pw in (pow0, pow1):
         prods = field.mul(coeffs, pw[None, :])

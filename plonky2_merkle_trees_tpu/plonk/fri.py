@@ -33,12 +33,8 @@ def coset_points(log_m: int, shift: int) -> np.ndarray:
     """Points shift * omega^i of the size-2^log_m coset (natural order)."""
     m = 1 << log_m
     w = field.primitive_root_of_unity(log_m)
-    pts = np.empty(m, dtype=np.uint64)
-    acc = shift % P
-    for i in range(m):
-        pts[i] = acc
-        acc = acc * w % P
-    return pts
+    with np.errstate(over="ignore"):
+        return field.mul(field.powers_host(w, m), np.uint64(shift % P))
 
 
 @lru_cache(maxsize=None)
@@ -130,17 +126,25 @@ def _pow_challenge_states(challenger: Challenger, nonces: np.ndarray) -> np.ndar
 
 
 def find_pow_witness(challenger: Challenger, pow_bits: int) -> int:
-    """Find a nonce whose resulting challenge has >= pow_bits leading zeros."""
+    """Find a nonce whose resulting challenge has >= pow_bits leading zeros.
+
+    Expected work is 2^pow_bits tries; the cap at 2^(pow_bits+12) batches
+    (~4096x the expectation) turns a misconfigured grind into a diagnostic
+    instead of an unbounded loop."""
     batch = 1 << 16
     threshold = np.uint64(1 << (64 - pow_bits))
     start = 0
-    while True:
+    limit = 1 << (pow_bits + 12)
+    while start < max(limit, batch * 4):
         nonces = np.arange(start, start + batch, dtype=np.uint64)
         ch = _pow_challenge_states(challenger, nonces)
         hits = np.nonzero(ch < threshold)[0]
         if hits.size:
             return int(nonces[hits[0]])
         start += batch
+    raise RuntimeError(
+        f"proof-of-work grind exhausted {start} nonces without a hit "
+        f"(pow_bits={pow_bits}) — grinding parameters are misconfigured")
 
 
 def check_pow(challenger: Challenger, nonce: int, pow_bits: int) -> bool:

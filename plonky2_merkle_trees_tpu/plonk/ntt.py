@@ -160,12 +160,7 @@ def coset_lde(coeffs, rate_bits: int, shift: int = field.MULTIPLICATIVE_GROUP_GE
     big_n = n << rate_bits
     # scale coefficients by shift^i, then zero-pad
     if xp is np:
-        powers = np.empty(n, dtype=np.uint64)
-        acc = 1
-        for i in range(n):
-            powers[i] = acc
-            acc = acc * shift % field.P
-        powers = xp.asarray(powers)
+        powers = field.powers_host(shift, n)
     else:
         powers = _powers_on_device(xp, shift, n)
     scaled = field.mul(coeffs, powers)
@@ -186,12 +181,7 @@ def coset_intt(evals, rate_bits_unused: int = 0,
     coeffs = intt(evals)
     inv_shift = field.h_inverse(shift)
     if xp is np:
-        powers = np.empty(n, dtype=np.uint64)
-        acc = 1
-        for i in range(n):
-            powers[i] = acc
-            acc = acc * inv_shift % field.P
-        powers = xp.asarray(powers)
+        powers = field.powers_host(inv_shift, n)
     else:
         powers = _powers_on_device(xp, inv_shift, n)
     return field.mul(coeffs, powers)

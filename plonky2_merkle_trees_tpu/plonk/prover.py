@@ -337,12 +337,9 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
         ratio_all = ratios[0]
         for rr in ratios[1:]:
             ratio_all = field.mul(ratio_all, rr)
-        z = np.empty(n, dtype=np.uint64)
-        acc = 1
-        for r in range(n):
-            z[r] = acc
-            acc = acc * int(ratio_all[r]) % P
-        assert acc == 1, "permutation product does not close"
+        z = field.prefix_prod_exclusive(ratio_all)
+        closure = int(field.mul(z[-1], ratio_all[-1]))
+        assert closure == 1, "permutation product does not close"
         zsp_rows.append(z)
         prod = z
         for j in range(num_chunks - 1):
