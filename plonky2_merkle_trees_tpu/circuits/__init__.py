@@ -10,4 +10,5 @@ from .merkle_recursion import (  # noqa: F401
     initial_proof_circuit, recursive_step, verify_merkle_proof_circuit_and_proof,
     chain_step_circuit, uniform_chain_circuits,
     verify_merkle_proof_chain_uniform,
+    expected_chain_commitment, verify_chain_binding, verifier_data_digest,
 )

@@ -115,14 +115,54 @@ def verify_merkle_proof_circuit_and_proof(leaf_index: int, leaf_value,
 # only on the inner circuit's STRUCTURE: (config, degree_bits,
 # num_public_inputs) — the circuit digest and constants/sigmas cap enter as
 # witness.  So one "uniform" step circuit built against a synthetic common
-# of its own degree D verifies ANY degree-D 4-PI proof, including its own
-# previous instance.  The chain becomes:
+# of its own degree D verifies ANY degree-D proof of that structure,
+# including its own previous instance.  The chain becomes:
 #
 #   init (tiny)  →  step1 (degree D, verifies init)  →  uniform × (L-2)
 #
 # with D found as a fixpoint (pad the circuit to degree D; D is the
 # smallest power of two that fits the verifier of a degree-D proof).  The
 # sibling side is a runtime-muxed bool witness, not baked.
+#
+# TRUST MODEL / verifier-data binding.  Because the inner verifier data is
+# pure witness, a bare uniform step would accept a valid proof of ANY
+# degree-D circuit of the right shape — soundness would rest entirely on
+# the final out-of-band check of the LAST level's verifier data.  To bind
+# every level, each step exposes a second public output, a running
+# VERIFIER-DATA CHAIN COMMITMENT:
+#
+#   C_1 = H( vdd(used at step 1) || 0 0 0 0 )          (step1, verifies init)
+#   C_i = H( vdd(used at step i) || C_{i-1} )          (uniform, i >= 2)
+#
+# where vdd(·) = H(constants_sigmas_cap || circuit_digest) is the digest of
+# the verifier data the step ACTUALLY verified against (computed in-circuit
+# from the witnessed targets).  The final verifier recomputes the expected
+# commitment from the three known circuits (init, step1, uniform) and the
+# depth — verify_chain_binding — so a proof of a foreign circuit smuggled
+# in at ANY level changes the final commitment and is rejected.  This is
+# the binding VERDICT r1 #7 asked for; the reference's one-layer chain
+# (recursive_step above) keeps parity semantics and is intentionally NOT
+# changed.
+
+
+def verifier_data_digest(verifier_only):
+    """Host twin of the in-circuit vdd(): H(cap elements || circuit digest)."""
+    import numpy as np
+    from .. import poseidon
+    elems = [int(v) for v in
+             np.asarray(verifier_only.constants_sigmas_cap).reshape(-1)]
+    elems += [int(v) for v in np.asarray(verifier_only.circuit_digest)]
+    return poseidon.hash_no_pad_scalar(elems)
+
+
+def _vdata_digest_circuit(builder, vdata):
+    """In-circuit digest of the WITNESSED verifier data (same element order
+    as verifier_data_digest)."""
+    elems = []
+    for h in vdata.constants_sigmas_cap:
+        elems.extend(h.elements)
+    elems.extend(vdata.circuit_digest.elements)
+    return builder.hash_n_to_hash_no_pad(elems)
 
 
 def _synthetic_common(config: CircuitConfig, degree_bits: int,
@@ -145,10 +185,15 @@ def _synthetic_common(config: CircuitConfig, degree_bits: int,
 
 
 def chain_step_circuit(inner_common, config: CircuitConfig = None,
-                       min_degree_bits: int = None):
+                       min_degree_bits: int = None, bind_vdata: bool = False):
     """One muxed-side chain step: verifies the previous proof, connects its
     public digest to this level's input, hashes with the sibling on the
     side selected by a runtime bool (1 = sibling on the right).
+
+    With ``bind_vdata`` the step additionally exposes the verifier-data
+    chain commitment C_i = H(vdd(witnessed vdata) || C_{i-1}) as public
+    inputs 4..8 (C_{i-1} read from the inner proof's PIs 4..8, or zeros
+    when the inner circuit predates the chain — the init circuit).
 
     Returns (circuit_data, prev_proof_target, prev_verifier_data_target,
     sibling_target, side_bit_target)."""
@@ -168,6 +213,15 @@ def chain_step_circuit(inner_common, config: CircuitConfig = None,
                             input_hash.elements[i]) for i in range(4)]
     digest = builder.hash_or_noop(left + right)
     builder.register_public_inputs(digest.elements)
+
+    if bind_vdata:
+        if inner_common.num_public_inputs >= 8:
+            inner_chain = list(prev_proof_target.public_inputs[4:8])
+        else:
+            inner_chain = [builder.zero()] * 4
+        vdd = _vdata_digest_circuit(builder, prev_vdata)
+        chain = builder.hash_n_to_hash_no_pad(vdd.elements + inner_chain)
+        builder.register_public_inputs(chain.elements)
 
     return (builder.build(min_degree_bits=min_degree_bits),
             prev_proof_target, prev_vdata, sibling, side_right)
@@ -192,17 +246,21 @@ def uniform_chain_circuits(config: CircuitConfig = None):
 
     init_data, init_targets = initial_proof_circuit(config)
 
-    # fixpoint: smallest D with natural_degree(verify degree-D proof) <= D
+    # fixpoint: smallest D with natural_degree(verify degree-D proof) <= D.
+    # The uniform step carries 8 public inputs (digest + chain commitment)
+    # and verifies proofs of the same 8-PI shape.
     D = max(init_data.common.degree_bits + 1, 12)
     while True:
-        probe = chain_step_circuit(_synthetic_common(config, D), config,
-                                   min_degree_bits=D)
+        probe = chain_step_circuit(
+            _synthetic_common(config, D, num_public_inputs=8), config,
+            min_degree_bits=D, bind_vdata=True)
         if probe[0].common.degree_bits == D:
             uniform = probe
             break
         D = probe[0].common.degree_bits
 
-    step1 = chain_step_circuit(init_data.common, config, min_degree_bits=D)
+    step1 = chain_step_circuit(init_data.common, config, min_degree_bits=D,
+                               bind_vdata=True)
     assert step1[0].common.degree_bits == D, \
         "step1 outgrew the uniform degree (verifying the tiny init circuit " \
         "must cost no more than verifying a degree-D proof)"
@@ -252,4 +310,41 @@ def verify_merkle_proof_chain_uniform(leaf_index: int, leaf_value,
         prev_data = data
         current_leaf_index //= 2
 
+    if len(merkle_proof) > 1:
+        verify_chain_binding(prev_proof, len(merkle_proof), config)
     return prev_data, prev_proof
+
+
+def expected_chain_commitment(depth: int, config: CircuitConfig = None):
+    """The verifier-data chain commitment an honest depth-``depth`` chain
+    must expose (depth = number of merkle-proof levels, >= 2):
+    C_1 = H(vdd(init) || 0), C_2 = H(vdd(step1) || C_1),
+    C_i = H(vdd(uniform) || C_{i-1}) for i >= 3."""
+    import numpy as np
+    from .. import poseidon
+    bundle = uniform_chain_circuits(config)
+    vdd_init = verifier_data_digest(bundle["init"][0].verifier_only)
+    vdd_step1 = verifier_data_digest(bundle["step1"][0].verifier_only)
+    vdd_uniform = verifier_data_digest(bundle["uniform"][0].verifier_only)
+    chain = np.zeros(4, dtype=np.uint64)
+    for i in range(1, depth):
+        vdd = vdd_init if i == 1 else (vdd_step1 if i == 2 else vdd_uniform)
+        chain = poseidon.hash_no_pad_scalar(
+            [int(v) for v in vdd] + [int(v) for v in chain])
+    return chain
+
+
+def verify_chain_binding(proof, depth: int, config: CircuitConfig = None):
+    """Check the final proof's chain-commitment PIs (4..8) against the
+    expected honest-chain value — the out-of-circuit half of the binding
+    (the in-circuit half accumulates the witnessed verifier data).  Raises
+    ValueError on mismatch (a foreign circuit was verified at some level)."""
+    import numpy as np
+    expected = expected_chain_commitment(depth, config)
+    got = np.asarray([int(v) for v in proof.public_inputs[4:8]],
+                     dtype=np.uint64)
+    if not np.array_equal(got, expected):
+        raise ValueError(
+            "verifier-data chain commitment mismatch: the proof chain "
+            "verified at least one circuit that is not the expected "
+            "init/step1/uniform sequence")

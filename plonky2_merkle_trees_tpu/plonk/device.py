@@ -87,6 +87,46 @@ def _jnp():
 
 
 # ---------------------------------------------------------------------------
+# Mesh sharding support (the distributed prover)
+#
+# The three fused programs become SPMD programs over a jax.sharding.Mesh by
+# annotation, not by rewriting: with_sharding_constraint pins each stage's
+# natural axis (polynomial axis for the batched NTTs, domain/leaf axis for
+# hashing, quotient evaluation and FRI folds) and XLA's partitioner inserts
+# the collectives (all-to-all at the NTT->hash "transpose" boundaries,
+# collective-permute for zs_next rolls and fold halvings).  mesh=None (the
+# single-chip default) keeps the traced graph bit-for-bit unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _mk_constrainer(mesh):
+    """Returns (c, r): c(x, dim) shards dimension ``dim`` of x over the mesh
+    (no-op when the dim is smaller than the device count or mesh is None);
+    r(x) pins x replicated (used before small serial stages like the Z
+    prefix scan, where partitioning would cost more than it saves)."""
+    if mesh is None:
+        return (lambda x, dim: x), (lambda x: x)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    axis = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
+
+    def c(x, dim):
+        if int(x.shape[dim]) < ndev:
+            return x
+        spec = [None] * x.ndim
+        spec[dim] = axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+    def r(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec()))
+
+    return c, r
+
+
+# ---------------------------------------------------------------------------
 # Jitted stages (module-level cache; jax.jit re-specialises per shape)
 # ---------------------------------------------------------------------------
 
@@ -452,12 +492,16 @@ def _find_pow_witness_device(challenger: Challenger, pow_bits: int) -> int:
     threshold = np.uint64(1 << (64 - pow_bits))
     stage = _stage_pow()
     start = 0
-    while True:
+    limit = max(1 << (pow_bits + 12), _POW_BATCH * 4)   # ~4096x expected work
+    while start < limit:
         found, idx = stage(_jnp().asarray(template), nonce_lane=lane,
                            start=np.uint64(start), threshold=threshold)
         if bool(found):
             return start + int(idx)
         start += _POW_BATCH
+    raise RuntimeError(
+        f"proof-of-work grind exhausted {start} nonces without a hit "
+        f"(pow_bits={pow_bits}) — grinding parameters are misconfigured")
 
 
 # ---------------------------------------------------------------------------
@@ -1181,12 +1225,11 @@ def prove_device_staged(circuit_data, pw, _witness=None) -> ProofWithPublicInput
         jnp.asarray(np.array(gammas, dtype=np.uint64)))
     ratio_all_np = np.asarray(ratio_all)
     z_rows = np.empty((nc, n), dtype=np.uint64)
-    for c in range(nc):
-        acc = 1
-        for r in range(n):
-            z_rows[c, r] = acc
-            acc = acc * int(ratio_all_np[c, r]) % P
-        assert acc == 1, "permutation product does not close"
+    with np.errstate(over="ignore"):
+        for c in range(nc):
+            z_rows[c] = field.prefix_prod_exclusive(ratio_all_np[c])
+            closure = int(field.mul(z_rows[c, -1], ratio_all_np[c, -1]))
+            assert closure == 1, "permutation product does not close"
     z_coeffs, z_lde, z_levels = _stage_zsp(num_chunks, rate_bits, cap_height)(
         jnp.asarray(z_rows), ratios)
     zsp_batch = DeviceBatch(z_coeffs, z_lde, z_levels, cap_height)

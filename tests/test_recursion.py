@@ -146,7 +146,8 @@ def test_uniform_chain_8_leaves():
     uniform, where the uniform circuit verifies a proof of its own shape
     (step1's padded proof at level 2, its own at deeper levels)."""
     from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
-        uniform_chain_circuits, verify_merkle_proof_chain_uniform)
+        expected_chain_commitment, uniform_chain_circuits,
+        verify_merkle_proof_chain_uniform)
 
     leaves = _leaves(8, seed=5)
     tree = MerkleTree.build(leaves)
@@ -157,13 +158,62 @@ def test_uniform_chain_8_leaves():
     circuit, proof = verify_merkle_proof_chain_uniform(
         idx, tree.tree[0][idx], merkle_proof, in_between, config=CFG)
     circuit.verify(proof)
-    assert proof.public_inputs == [int(v) for v in tree.root]
+    # PIs 0..4: the root digest; PIs 4..8: the verifier-data chain commitment
+    assert proof.public_inputs[:4] == [int(v) for v in tree.root]
+    assert proof.public_inputs[4:] == [
+        int(v) for v in expected_chain_commitment(len(merkle_proof), CFG)]
 
     # the three shapes really are three: init, step1, uniform — and the
     # uniform circuit's inner degree equals its own degree (the fixpoint)
     bundle = uniform_chain_circuits(CFG)
     assert bundle["uniform"][0].common.degree_bits == bundle["degree_bits"]
     assert bundle["step1"][0].common.degree_bits == bundle["degree_bits"]
+
+
+def test_uniform_chain_foreign_circuit_rejected():
+    """A VALID proof of a different degree-D 8-PI circuit, smuggled into a
+    uniform step in place of the previous level, must be rejected by the
+    verifier-data chain binding (VERDICT r1 #7): the step itself accepts it
+    (the inner verifier data is witness), but the chain commitment then
+    records the foreign verifier data and the final check fails."""
+    from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
+        uniform_chain_circuits, verify_chain_binding)
+    from plonky2_merkle_trees_tpu.plonk.builder import CircuitBuilder
+
+    bundle = uniform_chain_circuits(CFG)
+    D = bundle["degree_bits"]
+
+    # an "evil" circuit with the uniform shape (8 PIs, degree D): it proves
+    # knowledge of nothing — it just exposes 8 arbitrary witness values
+    builder = CircuitBuilder(CFG)
+    ts = [builder.add_virtual_target() for _ in range(8)]
+    builder.register_public_inputs(ts)
+    evil = builder.build(min_degree_bits=D)
+    assert evil.common.degree_bits == D
+    pw = PartialWitness()
+    fake_root = _leaves(4, seed=7)
+    for t, v in zip(ts[:4], fake_root):
+        pw.set_target(t, int(v))
+    for t in ts[4:]:
+        pw.set_target(t, 0)
+    evil_proof = evil.prove(pw)
+    evil.verify(evil_proof)
+
+    # feed it into a uniform step as if it were the previous chain level
+    data, proof_t, vdata_t, sibling_t, side_t = bundle["uniform"]
+    sibling = _leaves(4, seed=8)
+    step_pw = PartialWitness()
+    step_pw.set_hash_target(sibling_t, sibling)
+    step_pw.set_bool_target(side_t, True)
+    step_pw.set_proof_with_pis_target(proof_t, evil_proof)
+    step_pw.set_verifier_data_target(vdata_t, evil.verifier_only)
+    step_proof = data.prove(step_pw)     # the step ACCEPTS the foreign proof
+    data.verify(step_proof)
+    # ... but the binding check rejects the chain
+    with pytest.raises(ValueError, match="chain commitment mismatch"):
+        verify_chain_binding(step_proof, depth=3, config=CFG)
+    with pytest.raises(ValueError, match="chain commitment mismatch"):
+        verify_chain_binding(step_proof, depth=2, config=CFG)
 
 
 def test_uniform_chain_wrong_root_rejected():
