@@ -17,14 +17,17 @@ from ..plonk.circuit_data import CircuitData
 from ..plonk.config import CircuitConfig
 
 
-def verify_merkle_proof_circuit(leaf_index: int, nr_layers: int
+def verify_merkle_proof_circuit(leaf_index: int, nr_layers: int,
+                                config: CircuitConfig = None,
                                 ) -> Tuple[CircuitData, List[HashOutTarget]]:
     """Returns (circuit_data, witness targets: [leaf_hash, proof elm 0..]).
 
     The leaf enters as a pre-hashed digest target (like the reference, which
-    passes ``tree.tree[0][i]``)."""
+    passes ``tree.tree[0][i]``).  ``config`` defaults to the reference's
+    standard_recursion_config; pass CircuitConfig.test_config() for a cheap
+    build (used by the multichip dryrun)."""
     targets: List[HashOutTarget] = []
-    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    builder = CircuitBuilder(config or CircuitConfig.standard_recursion_config())
 
     leaf_to_prove = builder.add_virtual_hash()
     targets.append(leaf_to_prove)

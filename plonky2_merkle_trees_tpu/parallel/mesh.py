@@ -23,3 +23,34 @@ def make_mesh(n_devices: int = None, axis_name: str = SHARD_AXIS) -> Mesh:
 
 def default_mesh() -> Mesh:
     return make_mesh()
+
+
+def _mk_constrainer(mesh):
+    """Returns (c, r): c(x, dim) pins dimension ``dim`` of x sharded over
+    the mesh via with_sharding_constraint (no-op when the dim is smaller
+    than the device count, or mesh is None); r(x) pins x replicated.
+
+    This pair is how the SPMD prover expresses its layout plan: annotate
+    the natural axis per stage (polynomial axis for batched NTTs, leaf/
+    domain axis for hashing and constraint evaluation) and let XLA's
+    partitioner insert the collectives at the boundaries."""
+    if mesh is None:
+        return (lambda x, dim: x), (lambda x: x)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    axis = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
+
+    def c(x, dim):
+        if int(x.shape[dim]) < ndev:
+            return x
+        spec = [None] * x.ndim
+        spec[dim] = axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+    def r(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec()))
+
+    return c, r

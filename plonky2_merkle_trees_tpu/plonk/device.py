@@ -100,30 +100,10 @@ def _jnp():
 
 
 def _mk_constrainer(mesh):
-    """Returns (c, r): c(x, dim) shards dimension ``dim`` of x over the mesh
-    (no-op when the dim is smaller than the device count or mesh is None);
-    r(x) pins x replicated (used before small serial stages like the Z
-    prefix scan, where partitioning would cost more than it saves)."""
-    if mesh is None:
-        return (lambda x, dim: x), (lambda x: x)
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec
-    axis = mesh.axis_names[0]
-    ndev = int(mesh.devices.size)
-
-    def c(x, dim):
-        if int(x.shape[dim]) < ndev:
-            return x
-        spec = [None] * x.ndim
-        spec[dim] = axis
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, PartitionSpec(*spec)))
-
-    def r(x):
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, PartitionSpec()))
-
-    return c, r
+    """See parallel.mesh._mk_constrainer (re-exported here for the stage
+    factories below)."""
+    from ..parallel.mesh import _mk_constrainer as mk
+    return mk(mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -153,13 +133,20 @@ def _hash_rows_device(matrix):
     return state[:, :4]
 
 
-def _merkle_levels(leaves_matrix, cap_height: int):
+def _merkle_levels(leaves_matrix, cap_height: int, c=None):
     """hash_or_noop each row, then pairwise-reduce to a 2^cap_height cap.
-    Returns the digest levels (leaf level first, cap last)."""
+    Returns the digest levels (leaf level first, cap last).  ``c`` is the
+    optional mesh constrainer: leaf/level rows shard over the mesh until a
+    level drops below the device count (local subtrees + a tiny replicated
+    top — the forest reduction, here compiler-derived)."""
+    if c is not None:
+        leaves_matrix = c(leaves_matrix, 0)
     level = _hash_rows_device(leaves_matrix)
     levels = [level]
     jnp = _jnp()
     while level.shape[0] > (1 << cap_height):
+        if c is not None:
+            level = c(level, 0)
         pairs = level.reshape(-1, 2, 4)
         state = jnp.concatenate(
             [pairs[:, 0, :], pairs[:, 1, :],
@@ -635,12 +622,18 @@ def _parse_blob(blob_np, layout):
 
 @lru_cache(maxsize=None)
 def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
-                       degree_bits: int, rate_bits: int, cap_height: int):
+                       degree_bits: int, rate_bits: int, cap_height: int,
+                       mesh=None):
     """Program 1: wire scatter+commit, permutation ratios, Z prefix
-    products, zsp commit; challenger through betas/gammas/alphas."""
+    products, zsp commit; challenger through betas/gammas/alphas.
+
+    Sharded (mesh is not None): wire/zsp NTTs shard the POLYNOMIAL axis
+    (embarrassingly parallel transforms), tree hashing shards the LEAF
+    axis; the lde->leaves transpose is the one all-to-all per commit."""
     import jax
     n = 1 << degree_bits
     num_chunks = r_wires // CHUNK
+    cst, rep = _mk_constrainer(mesh)
 
     def fn(V, K, wm_gather, sigmas, tags, circuit_digest, pi_hash):
         jnp = _jnp()
@@ -650,10 +643,10 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
         # a gather (fast on TPU) instead of a 2M-index scatter (slow).
         g = jnp.maximum(wm_gather, 0)
         filled = (wm_gather >= 0) & K[g]
-        wires = jnp.where(filled, V[g], jnp.uint64(0))
-        w_coeffs = nttmod.intt(wires)
-        w_lde = nttmod.coset_lde(w_coeffs, rate_bits)
-        w_levels = _merkle_levels(w_lde.T, cap_height)
+        wires = cst(jnp.where(filled, V[g], jnp.uint64(0)), 0)
+        w_coeffs = cst(nttmod.intt(wires), 0)
+        w_lde = cst(nttmod.coset_lde(w_coeffs, rate_bits), 0)
+        w_levels = _merkle_levels(w_lde.T, cap_height, c=cst)
         w_cap = w_levels[-1]
 
         ch.observe_array(circuit_digest)
@@ -662,7 +655,12 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
         betas = [ch.get_challenge() for _ in range(nc)]
         gammas = [ch.get_challenge() for _ in range(nc)]
 
-        routed = wires[:r_wires]
+        # permutation ratios: pointwise over the DOMAIN axis (reductions run
+        # over the small wire/chunk axes), so the sharded prover resolves
+        # them domain-sharded
+        routed = cst(wires[:r_wires], 1)
+        tags = cst(tags, 1)
+        sigmas = cst(sigmas, 1)
         f_stack, g_stack = [], []
         for c in range(nc):
             f = field.add(routed, field.add(field.mul(tags, betas[c]),
@@ -671,19 +669,21 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
                                             gammas[c]))
             f_stack.append(f.reshape(num_chunks, CHUNK, n))
             g_stack.append(g.reshape(num_chunks, CHUNK, n))
-        fp = jnp.stack(f_stack)                  # (nc, chunks, CHUNK, n)
-        gp = jnp.stack(g_stack)
+        fp = cst(jnp.stack(f_stack), 3)          # (nc, chunks, CHUNK, n)
+        gp = cst(jnp.stack(g_stack), 3)
         while fp.shape[2] > 1:                   # pairwise chunk products
             half_c = fp.shape[2] // 2
             fp = field.mul(fp[:, :, :half_c], fp[:, :, half_c:])
             gp = field.mul(gp[:, :, :half_c], gp[:, :, half_c:])
-        ratios = field.mul(fp[:, :, 0], field.inv_vec(gp[:, :, 0]))
+        ratios = cst(field.mul(fp[:, :, 0], field.inv_vec(gp[:, :, 0])), 2)
         z_rows, closure = [], []
         for c in range(nc):
             rall = ratios[c, 0]
             for j in range(1, num_chunks):
                 rall = field.mul(rall, ratios[c, j])
-            pp = jax.lax.associative_scan(field.mul, rall)
+            # the prefix scan is log-depth but sequential in structure —
+            # replicate it (tiny: (n,) per challenge) rather than partition
+            pp = jax.lax.associative_scan(field.mul, rep(rall))
             z_rows.append(jnp.concatenate(
                 [jnp.ones(1, dtype=jnp.uint64), pp[:-1]]))
             closure.append(pp[-1])               # must be 1 (checked on host)
@@ -693,10 +693,10 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
             for j in range(num_chunks - 1):
                 prod = field.mul(prod, ratios[c, j])
                 rows.append(prod)
-        zsp_values = jnp.stack(rows)
-        z_coeffs = nttmod.intt(zsp_values)
-        z_lde = nttmod.coset_lde(z_coeffs, rate_bits)
-        z_levels = _merkle_levels(z_lde.T, cap_height)
+        zsp_values = cst(jnp.stack(rows), 0)     # poly axis for the NTTs
+        z_coeffs = cst(nttmod.intt(zsp_values), 0)
+        z_lde = cst(nttmod.coset_lde(z_coeffs, rate_bits), 0)
+        z_levels = _merkle_levels(z_lde.T, cap_height, c=cst)
         ch.observe_array(z_levels[-1])
         alphas = [ch.get_challenge() for _ in range(nc)]
 
@@ -710,14 +710,20 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
 @lru_cache(maxsize=None)
 def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
                          k_is: tuple, degree_bits: int, rate_bits: int,
-                         cap_height: int):
+                         cap_height: int, mesh=None):
     """Program 2: quotient evaluation+commit and the zeta openings;
-    challenger through zeta and fri_alpha."""
+    challenger through zeta and fri_alpha.
+
+    Sharded: the constraint evaluation is pointwise over the LDE domain,
+    so every oracle reshards to the DOMAIN axis here (zs_next's roll is
+    one collective-permute); the quotient re-commit goes back to the
+    polynomial axis; the zeta openings reduce locally per polynomial."""
     import jax
     n = 1 << degree_bits
     m = n << rate_bits
     num_chunks = r_wires // CHUNK
     omega = field.primitive_root_of_unity(degree_bits)
+    cst, rep = _mk_constrainer(mesh)
 
     def fn(ch_state, chal, cs_coeffs, cs_lde, w_coeffs, w_lde, z_coeffs,
            z_lde, xs, pi_hash):
@@ -727,6 +733,10 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
         gammas = [chal[nc + c] for c in range(nc)]
         alphas = [chal[2 * nc + c] for c in range(nc)]
 
+        cs_lde = cst(cs_lde, 1)
+        w_lde = cst(w_lde, 1)
+        z_lde = cst(z_lde, 1)
+        xs = cst(xs, 0)
         alg = BatchAlgebra(jnp, m)
         sel_rows = [cs_lde[i] for i in range(num_sel)]
         const_rows = [cs_lde[num_sel + i] for i in range(2)]
@@ -749,14 +759,23 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
             sigma_rows, zs_rows, zs_next_rows, partials_lde,
             betas, gammas, alphas, pi_hash_alg, l0)
         zh_inv = field.inv_vec(zh)
+        # the per-challenge quotient INTT is a SINGLE size-m transform (no
+        # batch axis to shard) — stack the nc challenge columns and run the
+        # mesh-decomposed four-step transform (one all-to-all) when sharded
+        t_vals = jnp.stack([field.mul(combined[c], zh_inv)
+                            for c in range(nc)])
+        if mesh is not None:
+            from ..parallel.dist_ntt import coset_intt_sharded
+            t_all = coset_intt_sharded(t_vals, cst)
+        else:
+            t_all = nttmod.coset_intt(t_vals)
         chunks = []
         for c in range(nc):
-            t_coeffs = nttmod.coset_intt(field.mul(combined[c], zh_inv))
             for i in range(m // n):
-                chunks.append(t_coeffs[i * n:(i + 1) * n])
-        q_coeffs = jnp.stack(chunks)
-        q_lde = nttmod.coset_lde(q_coeffs, rate_bits)
-        q_levels = _merkle_levels(q_lde.T, cap_height)
+                chunks.append(t_all[c, i * n:(i + 1) * n])
+        q_coeffs = cst(jnp.stack(chunks), 0)
+        q_lde = cst(nttmod.coset_lde(q_coeffs, rate_bits), 0)
+        q_levels = _merkle_levels(q_lde.T, cap_height, c=cst)
         q_cap = q_levels[-1]
         ch.observe_array(q_cap)
         zeta = ch.get_ext_challenge()
@@ -767,9 +786,9 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
         powers = _ext_powers(zeta, n)
         powers_next = _ext_powers(zeta_next, n)
         evs = {
-            "cs_ev": _ext_dot(cs_coeffs, powers),
-            "w_ev": _ext_dot(w_coeffs, powers),
-            "zsp_ev": _ext_dot(z_coeffs, powers),
+            "cs_ev": _ext_dot(cst(cs_coeffs, 0), powers),
+            "w_ev": _ext_dot(cst(w_coeffs, 0), powers),
+            "zsp_ev": _ext_dot(cst(z_coeffs, 0), powers),
             "q_ev": _ext_dot(q_coeffs, powers),
             "zs_next_ev": _ext_dot(z_coeffs[:nc], powers_next),
         }
@@ -784,19 +803,29 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
 
 @lru_cache(maxsize=None)
 def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
-                    cap_height: int, arities: tuple, final_len: int):
+                    cap_height: int, arities: tuple, final_len: int,
+                    mesh=None):
     """Program 3: combine into F(x), the whole FRI commit phase, and the
-    final polynomial; challenger through the per-layer betas."""
+    final polynomial; challenger through the per-layer betas.
+
+    Sharded: everything here is pointwise over the (shrinking) domain, so
+    the layers stay domain-sharded; each fold's half-splits and the coset
+    leaf grouping reshard via compiler-inserted permutes until a layer
+    drops below the device count (then it runs replicated — tiny)."""
     import jax  # noqa: F401
     m = 1 << (degree_bits + rate_bits)
     shift0 = field.MULTIPLICATIVE_GROUP_GENERATOR
+    cst, rep = _mk_constrainer(mesh)
 
     def fn(ch_state, cs_lde, w_lde, z_lde, q_lde, evs, zeta, zeta_next,
            fri_alpha, xs):
         jnp = _jnp()
         ch = DeviceChallenger(ch_state)   # first action is an observe
 
-        all_rows = jnp.concatenate([cs_lde, w_lde, z_lde, q_lde], axis=0)
+        xs = cst(xs, 0)
+        all_rows = cst(jnp.concatenate(
+            [cst(cs_lde, 1), cst(w_lde, 1), cst(z_lde, 1), cst(q_lde, 1)],
+            axis=0), 1)
         ys1 = jnp.concatenate([evs["cs_ev"], evs["w_ev"], evs["zsp_ev"],
                                evs["q_ev"]], axis=0)
 
@@ -864,18 +893,20 @@ def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
         layer_values, fri_levels = [], []
         for a_bits in arities:
             eff_cap = min(cap_height, cur_log - a_bits)
+            current = cst(current, 0)
             layer_values.append(current)
             mm = int(current.shape[0])
             a = 1 << a_bits
             leaves = current.reshape(a, mm // a, 2).transpose(1, 0, 2) \
                 .reshape(mm // a, a * 2)
-            levels = _merkle_levels(leaves, eff_cap)
+            levels = _merkle_levels(leaves, eff_cap, c=cst)
             fri_levels.append(levels)
             ch.observe_array(levels[-1])
             beta = ch.get_ext_challenge()
             b = beta
             for _ in range(a_bits):
-                current = _fold_binary_dev(current, b, cur_log, cur_shift)
+                current = cst(_fold_binary_dev(current, b, cur_log,
+                                               cur_shift), 0)
                 b = ext_mul(b[None, :], b[None, :])[0]
                 cur_shift = cur_shift * cur_shift % P
                 cur_log -= 1
@@ -899,10 +930,17 @@ class _QueryOracle:
         self.tree = tree
 
 
-def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
+def prove_device_mono(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
     """prove_device with the fused three-program pipeline (see section
     comment above; challenger state flows device-to-device, one host
-    transfer total).  Transcript-identical to prover.prove."""
+    transfer total).  Transcript-identical to prover.prove.
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh) the same three programs
+    compile as SPMD executables over the mesh: per-circuit tables are
+    device_put with divisible shardings (domain axis), the stage-internal
+    constraints (see the factories) pin each phase's natural axis, and
+    XLA inserts the collectives.  Transcripts remain byte-identical —
+    modular arithmetic is exact, partitioning only reorders placement."""
     jnp = _jnp()
     common = circuit_data.common
     po = circuit_data.prover_only
@@ -947,51 +985,79 @@ def prove_device_mono(circuit_data, pw) -> ProofWithPublicInputs:
         else np.zeros(4, dtype=np.uint64)
 
     vg = po.vec_gen
-    dev_wm = getattr(po, "_device_wm_gather", None)
-    if dev_wm is None:
+
+    # per-circuit device tables, cached per mesh (None = single device).
+    # Shardings for the mesh case use the always-divisible DOMAIN axis;
+    # the in-program constraints reshard from there as needed.
+    if mesh is None:
+        def put(x, dim=None):
+            return jnp.asarray(x)
+    else:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+        axis = mesh.axis_names[0]
+
+        def put(x, dim=None):
+            x = jnp.asarray(x)
+            spec = [None] * x.ndim
+            if dim is not None and x.shape[dim] % int(mesh.devices.size) == 0:
+                spec[dim] = axis
+            return jax.device_put(x, NamedSharding(mesh, PSpec(*spec)))
+
+    caches = getattr(po, "_device_caches", None)
+    if caches is None:
+        caches = po._device_caches = {}
+    key = None if mesh is None else mesh
+    dev_cache = caches.get(key)
+    if dev_cache is None:
         g_np = np.full((config.num_wires, n), -1, dtype=np.int32)
         g_np[vg["wm_cols"], vg["wm_rows"]] = vg["wm_ids"].astype(np.int32)
-        dev_wm = jnp.asarray(g_np)
-        po._device_wm_gather = dev_wm
-    dev_cache = getattr(po, "_device_tables", None)
-    if dev_cache is None:
-        dev_cache = {
-            "tags": jnp.asarray(_domain_tags(n, common.k_is)),
-            "sigmas": jnp.asarray(po.sigmas),
-            "xs": jnp.asarray(coset_points(common.lde_bits,
-                                           field.MULTIPLICATIVE_GROUP_GENERATOR)),
+        dev_cache = caches[key] = {
+            "wm": put(g_np, 1),
+            "tags": put(_domain_tags(n, common.k_is), 1),
+            "sigmas": put(np.asarray(po.sigmas), 1),
+            "xs": put(coset_points(common.lde_bits,
+                                   field.MULTIPLICATIVE_GROUP_GENERATOR), 0),
         }
-        po._device_tables = dev_cache
     cs_dev = _upload_batch(po.constants_sigmas_batch)
+    if mesh is None:
+        cs_coeffs_dev = jnp.asarray(cs_dev.coeffs)
+        cs_lde_dev = jnp.asarray(cs_dev.lde_values)
+    else:
+        if "cs_coeffs" not in dev_cache:
+            dev_cache["cs_coeffs"] = put(cs_dev.coeffs, 1)
+            dev_cache["cs_lde"] = put(cs_dev.lde_values, 1)
+        cs_coeffs_dev = dev_cache["cs_coeffs"]
+        cs_lde_dev = dev_cache["cs_lde"]
     num_sel = common.selectors.shape[0]
 
     _tp("setup")
     p1 = _stage_mono_commit(r_wires, config.num_wires, nc,
-                            common.degree_bits, rate_bits, cap_height)
+                            common.degree_bits, rate_bits, cap_height,
+                            mesh=mesh)
     (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
      w_cap, z_cap, closure) = p1(
-        jnp.asarray(w.V), jnp.asarray(w.K), dev_wm,
+        put(w.V), put(w.K), dev_cache["wm"],
         dev_cache["sigmas"], dev_cache["tags"],
-        jnp.asarray(vo.circuit_digest), jnp.asarray(pi_hash))
+        put(vo.circuit_digest), put(pi_hash))
 
     if _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1":
         np.asarray(st1)
         _tp("P1 (blocked)")
     p2 = _stage_mono_quotient(num_sel, r_wires, config.num_wires, nc,
                               tuple(common.k_is), common.degree_bits,
-                              rate_bits, cap_height)
+                              rate_bits, cap_height, mesh=mesh)
     (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs) = p2(
-        st1, chal, jnp.asarray(cs_dev.coeffs),
-        jnp.asarray(cs_dev.lde_values), w_coeffs, w_lde, z_coeffs, z_lde,
-        dev_cache["xs"], jnp.asarray(pi_hash))
+        st1, chal, cs_coeffs_dev, cs_lde_dev, w_coeffs, w_lde, z_coeffs,
+        z_lde, dev_cache["xs"], put(pi_hash))
 
     if _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1":
         np.asarray(st2)
         _tp("P2 (blocked)")
     p3 = _stage_mono_fri(nc, common.degree_bits, rate_bits, cap_height,
-                         arities, final_len)
+                         arities, final_len, mesh=mesh)
     layer_values, fri_levels, final_c0, final_c1 = p3(
-        st2, jnp.asarray(cs_dev.lde_values), w_lde, z_lde, q_lde, evs,
+        st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
         zeta, zeta_next, fri_alpha, dev_cache["xs"])
     _tp("dispatch p1-p3")
 
@@ -1142,6 +1208,20 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
     if os.environ.get("PMT_PROVER_MONO", "1") != "0":
         return prove_device_mono(circuit_data, pw)
     return prove_device_staged(circuit_data, pw)
+
+
+def prove_device_sharded(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
+    """The DISTRIBUTED prover: the fused three-program pipeline compiled as
+    SPMD executables over a device mesh (default: a 1-D mesh of all
+    devices).  Polynomial-axis sharding for the batched LDE NTTs,
+    leaf-axis for commitment hashing, domain-axis for quotient evaluation
+    and FRI — with XLA-inserted collectives at the boundaries (SURVEY.md
+    §2.3; the byte-identical transcript is pinned by
+    tests/test_sharded_prover.py)."""
+    if mesh is None:
+        from ..parallel.mesh import default_mesh
+        mesh = default_mesh()
+    return prove_device_mono(circuit_data, pw, mesh=mesh)
 
 
 def prove_device_staged(circuit_data, pw, _witness=None) -> ProofWithPublicInputs:
