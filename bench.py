@@ -181,6 +181,18 @@ def bench_flagship():
         proof = outer.prove(pw2)
     prove_s = (time.perf_counter() - start) / iters
 
+    # pipelined batch serving throughput: host phases of prove i+1 overlap
+    # device execution of prove i (docs/device_prover.md); the anchor is
+    # the serial-prove rate, so vs_baseline here = pipelining speedup
+    from plonky2_merkle_trees_tpu.plonk import prove_pipelined
+    batch = 4
+    start = time.perf_counter()
+    proofs = prove_pipelined([(outer, pw2)] * batch)
+    piped_s = (time.perf_counter() - start) / batch
+    outer.verify(proofs[-1])
+    emit("flagship_pipelined_batch_prove_seconds_per_proof",
+         round(piped_s, 4), "s", round(prove_s / piped_s, 3))
+
     start = time.perf_counter()
     for _ in range(iters):
         outer.verify(proof)

@@ -93,3 +93,82 @@ def make_global_array(local_values, mesh=None, axis_name: str = SHARD_AXIS):
     ]
     return jax.make_array_from_single_device_arrays(
         global_shape, sharding, local_arrays)
+
+
+class CrossHostDivergence(RuntimeError):
+    """Raised when processes of a multi-host run disagree on a value that
+    determinism guarantees must be identical everywhere (a root, a proof
+    transcript, a challenge).  Carries enough detail to identify the
+    faulty host(s) — the fail-fast behavior SURVEY.md §5 calls for (the
+    reference is single-threaded and has no analog)."""
+
+    def __init__(self, label: str, digests: np.ndarray):
+        self.label = label
+        self.digests = digests
+        rows = {}
+        for pid, d in enumerate(digests):
+            rows.setdefault(tuple(int(v) for v in d), []).append(pid)
+        groups = sorted(rows.items(), key=lambda kv: -len(kv[1]))
+        majority = groups[0][1]
+        minority = [pid for _, pids in groups[1:] for pid in pids]
+        self.minority_processes = sorted(minority)
+        super().__init__(
+            f"cross-host divergence on '{label}': "
+            f"{len(rows)} distinct digests across {len(digests)} processes; "
+            f"majority={majority}, diverging={sorted(minority)} "
+            f"(digest rows: {rows})")
+
+
+def _host_digest(value) -> np.ndarray:
+    """Cheap deterministic fingerprint of an arbitrary array: fold every
+    u64 word into 8 Goldilocks lane-sums (position-weighted so permuted
+    data does not collide), then one Poseidon hash."""
+    from .. import field, poseidon
+    flat = np.ascontiguousarray(np.asarray(value)).reshape(-1)
+    flat = flat.view(np.uint8)
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+    words = flat.view(np.uint64) % np.uint64(field.P)
+    lanes = 8
+    wpad = (-len(words)) % lanes
+    if wpad:
+        words = np.concatenate([words, np.zeros(wpad, dtype=np.uint64)])
+    cols = words.reshape(-1, lanes)
+    # weight row r by (r+1) mod p so reorderings change the digest
+    weights = np.arange(1, cols.shape[0] + 1,
+                        dtype=np.uint64) % np.uint64(field.P)
+    acc = []
+    with np.errstate(over="ignore"):
+        prods = field.mul(cols, weights[:, None])      # canonical u64
+    for j in range(lanes):
+        col = prods[:, j]
+        lo = int((col & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+        hi = int((col >> np.uint64(32)).sum(dtype=np.uint64))
+        acc.append((lo + (hi << 32)) % field.P)
+    return poseidon.hash_no_pad_scalar(acc + [int(cols.shape[0])])
+
+
+def check_cross_host_agreement(value, label: str = "value") -> np.ndarray:
+    """Fail-fast determinism check: every process digests ``value``
+    locally, the digests are all-gathered over the process group, and any
+    mismatch raises :class:`CrossHostDivergence` naming the diverging
+    process ids.  Returns the (num_processes, 4) digest table on success.
+
+    Single-process: a local no-op (the table has one row).  Use after any
+    collectively-computed result that must be replicated (forest roots,
+    bagged peaks, proof transcripts):
+
+        root = forest_root(...)
+        runtime.check_cross_host_agreement(root, "forest root")
+    """
+    import jax
+    digest = _host_digest(value).astype(np.uint64)
+    if jax.process_count() == 1:
+        return digest[None, :]
+    from jax.experimental import multihost_utils
+    table = np.asarray(multihost_utils.process_allgather(digest))
+    table = table.reshape(jax.process_count(), 4)
+    if not (table == table[0]).all():
+        raise CrossHostDivergence(label, table)
+    return table

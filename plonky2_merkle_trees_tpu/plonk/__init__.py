@@ -14,3 +14,10 @@ from .field_ext import ExtensionField  # noqa: F401
 from .builder import CircuitBuilder, HashOutTarget, BoolTarget  # noqa: F401
 from .witness import PartialWitness, WitnessConflict  # noqa: F401
 from .proof import ProofWithPublicInputs, proof_to_json, proof_from_json  # noqa: F401
+
+
+def prove_pipelined(jobs, mesh=None):
+    """Pipeline-parallel batch prover over independent (circuit_data,
+    partial_witness) jobs; see plonk.device.prove_pipelined."""
+    from .device import prove_pipelined as _impl
+    return _impl(jobs, mesh=mesh)

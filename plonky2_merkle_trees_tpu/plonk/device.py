@@ -922,12 +922,54 @@ def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _stage_mono_commit_quotient(num_sel: int, r_wires: int, num_wires: int,
+                                nc: int, k_is: tuple, degree_bits: int,
+                                rate_bits: int, cap_height: int, mesh=None):
+    """P1+P2 merged into ONE program (PMT_PROVER_MERGE=1): one fewer
+    dispatch and one fewer per-process executable load.  jit-of-jit
+    inlines both stage bodies into a single XLA module, so transcripts
+    are identical by construction; the open question the flag answers is
+    whether the remote compile helper tolerates the combined module size
+    and whether the saved dispatch beats any lost overlap."""
+    import jax
+    p1 = _stage_mono_commit(r_wires, num_wires, nc, degree_bits, rate_bits,
+                            cap_height, mesh=mesh)
+    p2 = _stage_mono_quotient(num_sel, r_wires, num_wires, nc, k_is,
+                              degree_bits, rate_bits, cap_height, mesh=mesh)
+
+    def fn(V, K, wm_gather, sigmas, tags, circuit_digest, pi_hash,
+           cs_coeffs, cs_lde, xs):
+        (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
+         w_cap, z_cap, closure) = p1(V, K, wm_gather, sigmas, tags,
+                                     circuit_digest, pi_hash)
+        (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs) = p2(
+            st1, chal, cs_coeffs, cs_lde, w_coeffs, w_lde, z_coeffs, z_lde,
+            xs, pi_hash)
+        return (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap,
+                evs, w_lde, w_levels, z_lde, z_levels, w_cap, z_cap, closure)
+
+    return jax.jit(fn)
+
+
 class _QueryOracle:
     """Minimal oracle view for gather_query_rounds: LDE rows + tree."""
 
     def __init__(self, lde_values, tree):
         self.lde_values = lde_values
         self.tree = tree
+
+
+class _PendingProof:
+    """An in-flight device prove: every device program has been DISPATCHED
+    (JAX dispatch is asynchronous) but no result fetched yet.  The host
+    half — blob fetch, transcript replay, PoW, query gathers, proof
+    assembly — runs in ``_mono_finish``, so a caller can overlap the NEXT
+    prove's host witness generation with this one's device execution
+    (``prove_pipelined``)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
 
 
 def prove_device_mono(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
@@ -940,7 +982,45 @@ def prove_device_mono(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
     device_put with divisible shardings (domain axis), the stage-internal
     constraints (see the factories) pin each phase's natural axis, and
     XLA inserts the collectives.  Transcripts remain byte-identical —
-    modular arithmetic is exact, partitioning only reorders placement."""
+    modular arithmetic is exact, partitioning only reorders placement.
+
+    PMT_PROVER_MERGE=1 runs P1+P2 as one merged program (two dispatches
+    total instead of three)."""
+    return _mono_finish(_mono_dispatch(circuit_data, pw, mesh=mesh))
+
+
+def prove_pipelined(jobs, mesh=None) -> List[ProofWithPublicInputs]:
+    """Pipeline-parallel batch prover over INDEPENDENT proves (the TPU
+    analog of SURVEY.md §2.3's pipeline-parallel row: the reference has no
+    parallelism at all; here prove i+1's host phases overlap prove i's
+    device programs).
+
+    ``jobs`` is a sequence of ``(circuit_data, partial_witness)`` pairs.
+    For each job the host witness VM + device dispatch of job i+1 run
+    while the accelerator is still executing job i's three programs; only
+    then is job i's transcript blob fetched and its host finish (replay,
+    PoW, query gathers) done.  Transcripts are byte-identical to serial
+    ``circuit_data.prove`` calls — scheduling only, no protocol change.
+
+    Chained recursion steps (each witness consumes the previous proof)
+    cannot use this; see docs/device_prover.md."""
+    proofs: List[ProofWithPublicInputs] = [None] * len(jobs)
+    pending, pending_i = None, -1
+    for i, (cd, pw) in enumerate(jobs):
+        if device_mode(cd.common) and \
+                os.environ.get("PMT_PROVER_MONO", "1") != "0":
+            nxt = _mono_dispatch(cd, pw, mesh=mesh)
+        else:
+            nxt = _PendingProof(proof=cd.prove(pw))
+        if pending is not None:
+            proofs[pending_i] = _mono_finish(pending)
+        pending, pending_i = nxt, i
+    if pending is not None:
+        proofs[pending_i] = _mono_finish(pending)
+    return proofs
+
+
+def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
     jnp = _jnp()
     common = circuit_data.common
     po = circuit_data.prover_only
@@ -974,7 +1054,8 @@ def prove_device_mono(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
     from .witness import VectorWitness
     if not isinstance(w, VectorWitness) or any(
             isinstance(root, tuple) and root[0] == "c" for root in w._side):
-        return prove_device_staged(circuit_data, pw, _witness=w)
+        return _PendingProof(proof=prove_device_staged(circuit_data, pw,
+                                                       _witness=w))
     pi_values = []
     for t in po.public_inputs:
         v = w.get_target(t)
@@ -1032,33 +1113,51 @@ def prove_device_mono(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
     num_sel = common.selectors.shape[0]
 
     _tp("setup")
-    p1 = _stage_mono_commit(r_wires, config.num_wires, nc,
-                            common.degree_bits, rate_bits, cap_height,
-                            mesh=mesh)
-    (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
-     w_cap, z_cap, closure) = p1(
-        put(w.V), put(w.K), dev_cache["wm"],
-        dev_cache["sigmas"], dev_cache["tags"],
-        put(vo.circuit_digest), put(pi_hash))
+    _sync = _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1"
+    if os.environ.get("PMT_PROVER_MERGE") == "1":
+        p12 = _stage_mono_commit_quotient(
+            num_sel, r_wires, config.num_wires, nc, tuple(common.k_is),
+            common.degree_bits, rate_bits, cap_height, mesh=mesh)
+        (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs,
+         w_lde, w_levels, z_lde, z_levels, w_cap, z_cap, closure) = p12(
+            put(w.V), put(w.K), dev_cache["wm"],
+            dev_cache["sigmas"], dev_cache["tags"],
+            put(vo.circuit_digest), put(pi_hash),
+            cs_coeffs_dev, cs_lde_dev, dev_cache["xs"])
+        if _sync:
+            np.asarray(st2)
+            _tp("P1+P2 merged (blocked)")
+    else:
+        p1 = _stage_mono_commit(r_wires, config.num_wires, nc,
+                                common.degree_bits, rate_bits, cap_height,
+                                mesh=mesh)
+        (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
+         w_cap, z_cap, closure) = p1(
+            put(w.V), put(w.K), dev_cache["wm"],
+            dev_cache["sigmas"], dev_cache["tags"],
+            put(vo.circuit_digest), put(pi_hash))
 
-    if _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1":
-        np.asarray(st1)
-        _tp("P1 (blocked)")
-    p2 = _stage_mono_quotient(num_sel, r_wires, config.num_wires, nc,
-                              tuple(common.k_is), common.degree_bits,
-                              rate_bits, cap_height, mesh=mesh)
-    (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs) = p2(
-        st1, chal, cs_coeffs_dev, cs_lde_dev, w_coeffs, w_lde, z_coeffs,
-        z_lde, dev_cache["xs"], put(pi_hash))
+        if _sync:
+            np.asarray(st1)
+            _tp("P1 (blocked)")
+        p2 = _stage_mono_quotient(num_sel, r_wires, config.num_wires, nc,
+                                  tuple(common.k_is), common.degree_bits,
+                                  rate_bits, cap_height, mesh=mesh)
+        (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs) = p2(
+            st1, chal, cs_coeffs_dev, cs_lde_dev, w_coeffs, w_lde, z_coeffs,
+            z_lde, dev_cache["xs"], put(pi_hash))
 
-    if _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1":
-        np.asarray(st2)
-        _tp("P2 (blocked)")
+        if _sync:
+            np.asarray(st2)
+            _tp("P2 (blocked)")
     p3 = _stage_mono_fri(nc, common.degree_bits, rate_bits, cap_height,
                          arities, final_len, mesh=mesh)
     layer_values, fri_levels, final_c0, final_c1 = p3(
         st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
         zeta, zeta_next, fri_alpha, dev_cache["xs"])
+    if _sync:
+        np.asarray(final_c0)
+        _tp("P3 (blocked)")
     _tp("dispatch p1-p3")
 
     pieces = {"w_cap": w_cap, "z_cap": z_cap, "q_cap": q_cap,
@@ -1071,7 +1170,43 @@ def prove_device_mono(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
                                arities)
     blob = jnp.concatenate([pieces[name].reshape(-1).astype(jnp.uint64)
                             for name, _ in layout])
-    parsed = _parse_blob(np.asarray(blob), layout)   # ONE transfer
+    return _PendingProof(
+        blob=blob, layout=layout, pi_values=pi_values, pi_hash=pi_hash,
+        arities=arities, final_len=final_len, m=m, nc=nc,
+        cap_height=cap_height, r_wires=r_wires, common=common, vo=vo,
+        fri_cfg=fri_cfg, cs_dev=cs_dev, w_lde=w_lde, z_lde=z_lde,
+        q_lde=q_lde, w_levels=w_levels, z_levels=z_levels,
+        q_levels=q_levels, fri_levels=fri_levels,
+        layer_values=layer_values, trace=_trace)
+
+
+def _mono_finish(pending: _PendingProof) -> ProofWithPublicInputs:
+    if hasattr(pending, "proof"):          # staged-prover / host fallback
+        return pending.proof
+    (layout, arities, final_len, m, nc, common, vo, fri_cfg) = (
+        pending.layout, pending.arities, pending.final_len, pending.m,
+        pending.nc, pending.common, pending.vo, pending.fri_cfg)
+    pi_hash, pi_values, cap_height = (pending.pi_hash, pending.pi_values,
+                                      pending.cap_height)
+    cs_dev, w_lde, z_lde, q_lde = (pending.cs_dev, pending.w_lde,
+                                   pending.z_lde, pending.q_lde)
+    w_levels, z_levels, q_levels = (pending.w_levels, pending.z_levels,
+                                    pending.q_levels)
+    fri_levels, layer_values = pending.fri_levels, pending.layer_values
+    r_wires = pending.r_wires
+
+    import time as _time
+    _trace = pending.trace
+    _t0 = _time.perf_counter()
+
+    def _tp(label):
+        nonlocal _t0
+        if _trace:
+            now = _time.perf_counter()
+            print(f"  [mono] {label}: {now - _t0:.3f}s")
+            _t0 = now
+
+    parsed = _parse_blob(np.asarray(pending.blob), layout)   # ONE transfer
     _tp("device compute + blob fetch")
     if not (parsed["closure"] == 1).all():
         raise AssertionError("permutation product does not close")

@@ -121,3 +121,44 @@ def test_device_prover_mmr_circuit():
     p_dev = dev_prover.prove_device(data, pw)
     data.verify(p_dev)
     assert [int(v) for v in p_dev.public_inputs] == [int(v) for v in root]
+
+
+def _merkle_pw(data, targets, seed: int):
+    """A fresh witness for the baked (index=3, 16-leaf) merkle circuit."""
+    rng = np.random.default_rng(seed)
+    leaves = [int(x) for x in rng.integers(0, field.P, size=16,
+                                           dtype=np.uint64)]
+    mt = MerkleTree.build(leaves)
+    proof = mt.get_merkle_proof(3)
+    pw = PartialWitness()
+    pw.set_hash_target(targets[0], mt.tree[0][3])
+    for ht, h in zip(targets[1:], proof):
+        pw.set_hash_target(ht, h)
+    for t, v in zip(data.prover_only.public_inputs, mt.root):
+        pw.set_target(t, v)
+    return pw
+
+
+def test_prove_pipelined_transcript_parity(monkeypatch):
+    """prove_pipelined (host-phase(i+1) overlapped with device(i)) is a
+    scheduling change only: every proof byte-identical to serial prove."""
+    monkeypatch.setenv("PMT_PROVER_DEVICE", "1")
+    data, targets = verify_merkle_proof_circuit(3, 4)
+    jobs = [(data, _merkle_pw(data, targets, seed)) for seed in (11, 12, 13)]
+    serial = [dev_prover.prove_device(d, pw) for d, pw in jobs]
+    piped = dev_prover.prove_pipelined(jobs)
+    assert len(piped) == len(serial)
+    for ps, pp in zip(serial, piped):
+        data.verify(pp)
+        assert _proof_bytes(ps) == _proof_bytes(pp)
+
+
+def test_prove_merged_program_transcript_parity(merkle_case, monkeypatch):
+    """PMT_PROVER_MERGE=1 (P1+P2 fused into one XLA module) changes the
+    dispatch count, not one byte of the transcript."""
+    monkeypatch.setenv("PMT_PROVER_MERGE", "1")
+    data, pw = merkle_case
+    p_np = host_prover.prove(data, pw)
+    p_dev = dev_prover.prove_device(data, pw)
+    data.verify(p_dev)
+    assert _proof_bytes(p_np) == _proof_bytes(p_dev)

@@ -52,12 +52,17 @@ def worker() -> None:
                                in_specs=P(SHARD_AXIS), out_specs=P(),
                                check_vma=False))
     root = np.asarray(fn(x))
+    if os.environ.get("PMT_DEMO_DIVERGE") == "1" and info.process_id == 1:
+        # fault injection: host 1 silently corrupts its result — the
+        # agreement check below must fail fast and name it
+        root = (root + np.uint64(1)) % np.uint64(field.P)
+    runtime.check_cross_host_agreement(root, "forest root")
     print(f"proc {info.process_id}/{info.num_processes} "
           f"devices {info.local_devices}/{info.global_devices} "
           f"root {' '.join(str(int(v)) for v in root)}", flush=True)
 
 
-def driver() -> int:
+def driver(diverge: bool = False) -> int:
     import socket
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -71,11 +76,26 @@ def driver() -> int:
             "PMT_NUM_PROCESSES": "2",
             "PMT_PROCESS_ID": str(pid),
         })
+        if diverge:
+            env["PMT_DEMO_DIVERGE"] = "1"
         env.pop("PYTHONSTARTUP", None)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=REPO))
+    if diverge:
+        # failure-detection flavor: the corrupted run must fail fast with
+        # a CrossHostDivergence naming process 1, on every process
+        ok = True
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            if p.returncode == 0 or "cross-host divergence" not in err:
+                ok = False
+        if ok:
+            print("OK: injected divergence detected and attributed")
+            return 0
+        print("FAIL: injected divergence was not detected", file=sys.stderr)
+        return 1
     outs = []
     for p in procs:
         out, err = p.communicate(timeout=600)
@@ -118,4 +138,4 @@ if __name__ == "__main__":
     if "--worker" in sys.argv:
         worker()
     else:
-        sys.exit(driver())
+        sys.exit(driver(diverge="--diverge" in sys.argv))
