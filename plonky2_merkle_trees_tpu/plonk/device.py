@@ -620,6 +620,68 @@ def _parse_blob(blob_np, layout):
 # dispatches, zero host syncs until the final one-transfer blob fetch.
 
 
+FAT_MIN_FILLED = 100          # rows with >= this many filled cells = "fat"
+
+
+def _partition_wire_map(g_np: np.ndarray) -> dict:
+    """Static row partition of the wire gather map.
+
+    TPU scalar gathers run at ~33 ns/element regardless of formulation
+    (measured: u64 fancy-index, u32 pairs, jnp.take all ~135 ms for the
+    flagship's 4.4M-cell map), but only ~15% of cells are ever filled:
+    half the rows are padding, and the rest are either dense Poseidon-gate
+    rows or thin arithmetic rows touching a fixed column subset.  So:
+    scalar-gather ONLY the fillable blocks — fat rows densely, thin rows
+    on their used columns, padding rows not at all — then restore domain
+    order with a single static column-permutation gather (slice-level, so
+    it moves whole 135-element columns, not scalars).  Element-wise the
+    result is exactly the flat gather: transcripts are unchanged."""
+    num_wires, n = g_np.shape
+    filled = g_np >= 0
+    per_row = filled.sum(axis=0)
+    fat = np.flatnonzero(per_row >= FAT_MIN_FILLED)
+    thin = np.flatnonzero((per_row > 0) & (per_row < FAT_MIN_FILLED))
+    empty = np.flatnonzero(per_row == 0)
+    if thin.size:
+        thin_cols = np.flatnonzero(filled[:, thin].any(axis=1))
+    else:
+        thin_cols = np.zeros(0, dtype=np.int64)
+    perm = np.concatenate([fat, thin, empty])
+    inv_perm = np.argsort(perm)
+    return {
+        "fat_map": np.ascontiguousarray(g_np[:, fat]),
+        "thin_map": np.ascontiguousarray(g_np[np.ix_(thin_cols, thin)]),
+        "thin_cols": thin_cols.astype(np.int32),
+        "inv_perm": inv_perm.astype(np.int32),
+    }
+
+
+def _gather_wires(V, K, wmp, num_wires: int, n: int):
+    """Assemble the (num_wires, n) wire matrix from V (root values) and a
+    gather plan: either {"flat": map} (one scalar gather, the original
+    path, PMT_WIRE_GATHER=flat) or a _partition_wire_map dict."""
+    jnp = _jnp()
+
+    def block(m):
+        if int(m.shape[1]) == 0 or int(m.shape[0]) == 0:
+            return jnp.zeros(m.shape, dtype=jnp.uint64)
+        g = jnp.maximum(m, 0)
+        f = (m >= 0) & K[g]
+        return jnp.where(f, V[g], jnp.uint64(0))
+
+    if "flat" in wmp:
+        return block(wmp["flat"])
+    fat = block(wmp["fat_map"])
+    thin_sub = block(wmp["thin_map"])
+    thin = jnp.zeros((num_wires, int(thin_sub.shape[1])), dtype=jnp.uint64)
+    if int(thin_sub.shape[0]):
+        thin = thin.at[wmp["thin_cols"], :].set(thin_sub)
+    n_empty = n - int(fat.shape[1]) - int(thin.shape[1])
+    zero = jnp.zeros((num_wires, n_empty), dtype=jnp.uint64)
+    w = jnp.concatenate([fat, thin, zero], axis=1)
+    return jnp.take(w, wmp["inv_perm"], axis=1)
+
+
 @lru_cache(maxsize=None)
 def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
                        degree_bits: int, rate_bits: int, cap_height: int,
@@ -635,15 +697,13 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
     num_chunks = r_wires // CHUNK
     cst, rep = _mk_constrainer(mesh)
 
-    def fn(V, K, wm_gather, sigmas, tags, circuit_digest, pi_hash):
+    def fn(V, K, wm_plan, sigmas, tags, circuit_digest, pi_hash):
         jnp = _jnp()
         ch = DeviceChallenger()
 
-        # wm_gather[(col, row)] = filling root id, or -1 for empty cells —
-        # a gather (fast on TPU) instead of a 2M-index scatter (slow).
-        g = jnp.maximum(wm_gather, 0)
-        filled = (wm_gather >= 0) & K[g]
-        wires = cst(jnp.where(filled, V[g], jnp.uint64(0)), 0)
+        # wm_plan: gather plan from _partition_wire_map (or {"flat": map});
+        # gathers (fast on TPU) instead of a 2M-index scatter (slow).
+        wires = cst(_gather_wires(V, K, wm_plan, num_wires, n), 0)
         w_coeffs = cst(nttmod.intt(wires), 0)
         w_lde = cst(nttmod.coset_lde(w_coeffs, rate_bits), 0)
         w_levels = _merkle_levels(w_lde.T, cap_height, c=cst)
@@ -938,10 +998,10 @@ def _stage_mono_commit_quotient(num_sel: int, r_wires: int, num_wires: int,
     p2 = _stage_mono_quotient(num_sel, r_wires, num_wires, nc, k_is,
                               degree_bits, rate_bits, cap_height, mesh=mesh)
 
-    def fn(V, K, wm_gather, sigmas, tags, circuit_digest, pi_hash,
+    def fn(V, K, wm_plan, sigmas, tags, circuit_digest, pi_hash,
            cs_coeffs, cs_lde, xs):
         (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
-         w_cap, z_cap, closure) = p1(V, K, wm_gather, sigmas, tags,
+         w_cap, z_cap, closure) = p1(V, K, wm_plan, sigmas, tags,
                                      circuit_digest, pi_hash)
         (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs) = p2(
             st1, chal, cs_coeffs, cs_lde, w_coeffs, w_lde, z_coeffs, z_lde,
@@ -1093,8 +1153,16 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
     if dev_cache is None:
         g_np = np.full((config.num_wires, n), -1, dtype=np.int32)
         g_np[vg["wm_cols"], vg["wm_rows"]] = vg["wm_ids"].astype(np.int32)
+        if os.environ.get("PMT_WIRE_GATHER") == "flat":
+            wmp = {"flat": put(g_np, 1)}
+        else:
+            plan = _partition_wire_map(g_np)
+            wmp = {"fat_map": put(plan["fat_map"], 1),
+                   "thin_map": put(plan["thin_map"], 1),
+                   "thin_cols": put(plan["thin_cols"]),
+                   "inv_perm": put(plan["inv_perm"], 0)}
         dev_cache = caches[key] = {
-            "wm": put(g_np, 1),
+            "wmp": wmp,
             "tags": put(_domain_tags(n, common.k_is), 1),
             "sigmas": put(np.asarray(po.sigmas), 1),
             "xs": put(coset_points(common.lde_bits,
@@ -1120,7 +1188,7 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
             common.degree_bits, rate_bits, cap_height, mesh=mesh)
         (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs,
          w_lde, w_levels, z_lde, z_levels, w_cap, z_cap, closure) = p12(
-            put(w.V), put(w.K), dev_cache["wm"],
+            put(w.V), put(w.K), dev_cache["wmp"],
             dev_cache["sigmas"], dev_cache["tags"],
             put(vo.circuit_digest), put(pi_hash),
             cs_coeffs_dev, cs_lde_dev, dev_cache["xs"])
@@ -1133,7 +1201,7 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
                                 mesh=mesh)
         (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
          w_cap, z_cap, closure) = p1(
-            put(w.V), put(w.K), dev_cache["wm"],
+            put(w.V), put(w.K), dev_cache["wmp"],
             dev_cache["sigmas"], dev_cache["tags"],
             put(vo.circuit_digest), put(pi_hash))
 

@@ -41,7 +41,10 @@ NC = 2
 
 def timeit(label, fn, *args, iters=5, fetch=lambda out: out):
     out = fn(*args)
-    jax.block_until_ready(out)
+    # force true completion: block_until_ready under-reports through the
+    # remote-TPU tunnel (and compiles there can overlap the first calls) —
+    # a device->host fetch is the only reliable barrier
+    np.asarray(fetch(out))
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
