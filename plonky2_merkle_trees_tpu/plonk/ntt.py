@@ -9,11 +9,26 @@ Works on numpy and jax arrays alike (via field.py's generic ops); supports a
 leading batch dimension so all wire polynomials transform in one launch.
 """
 
+import os
 from functools import lru_cache
 
 import numpy as np
 
 from .. import field
+
+
+def _pallas_backend() -> bool:
+    """True when traced arrays live on a TPU and the fused Pallas NTT
+    (ops/ntt_pallas.py) should take over: it runs all butterfly stages on
+    VMEM-resident tiles instead of one HBM pass per stage (bit-exact with
+    the XLA path below, so transcripts are unchanged)."""
+    if os.environ.get("PMT_NTT_PALLAS", "1") == "0":
+        return False
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - jax always importable here
+        return False
 
 
 @lru_cache(maxsize=None)
@@ -84,6 +99,11 @@ def ntt(values, inverse: bool = False):
         raise ValueError(f"NTT size {n} is not a power of two")
     if log_n == 0:
         return values
+
+    if xp is not np and _pallas_backend():
+        from ..ops import ntt_pallas
+        if ntt_pallas.supported(n):
+            return ntt_pallas.ntt_pallas(values, inverse)
 
     if xp is np:
         rev = _bit_reverse_indices(log_n)

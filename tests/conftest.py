@@ -12,6 +12,8 @@ import jax  # noqa: E402
 
 # The environment's sitecustomize pins JAX_PLATFORMS=axon (the TPU tunnel);
 # tests must run on the virtual 8-device CPU mesh, so override via config.
-jax.config.update("jax_platforms", "cpu")
+# PMT_TEST_TPU=1 keeps the real device so tests/test_pallas_tpu.py can run.
+if os.environ.get("PMT_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import plonky2_merkle_trees_tpu  # noqa: E402,F401  (enables jax x64 before any array creation)

@@ -1,6 +1,6 @@
 """Pallas kernel tests — require real TPU hardware, skipped on the CPU mesh.
 
-Run manually with: JAX_PLATFORMS=axon python -m pytest tests/test_pallas_tpu.py
+Run manually with: PMT_TEST_TPU=1 python -m pytest tests/test_pallas_tpu.py
 (the conftest forces CPU, under which these skip)."""
 
 import numpy as np
@@ -38,3 +38,36 @@ def test_two_to_one_pallas_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(two_to_one_pallas(l, r, block=512)),
         np.asarray(hash_two_to_one(l, r)))
+
+
+@requires_tpu
+@pytest.mark.parametrize("log_n,batch,inverse",
+                         [(12, 4, False), (15, 3, True), (18, 2, False)])
+def test_ntt_pallas_bit_exact(log_n, batch, inverse):
+    """Compiled four-step Pallas NTT vs the host reference, on-chip."""
+    from plonky2_merkle_trees_tpu import field
+    from plonky2_merkle_trees_tpu.ops import ntt_pallas
+    from plonky2_merkle_trees_tpu.plonk import ntt as nttmod
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11 + log_n)
+    x = rng.integers(0, field.P, size=(batch, 1 << log_n), dtype=np.uint64)
+    want = nttmod.ntt(x, inverse=inverse)            # numpy path
+    got = np.asarray(ntt_pallas.ntt_pallas(jnp.asarray(x), inverse))
+    np.testing.assert_array_equal(want, got)
+
+
+@requires_tpu
+def test_coset_lde_dispatch_bit_exact():
+    """coset_lde through ntt()'s Pallas dispatch vs the numpy path."""
+    import os
+    from plonky2_merkle_trees_tpu import field
+    from plonky2_merkle_trees_tpu.plonk import ntt as nttmod
+    import jax.numpy as jnp
+
+    assert os.environ.get("PMT_NTT_PALLAS", "1") != "0"
+    rng = np.random.default_rng(13)
+    coeffs = rng.integers(0, field.P, size=(5, 1 << 12), dtype=np.uint64)
+    want = nttmod.coset_lde(coeffs, 3)
+    got = np.asarray(jax.jit(lambda c: nttmod.coset_lde(c, 3))(jnp.asarray(coeffs)))
+    np.testing.assert_array_equal(want, got)
