@@ -77,7 +77,8 @@ def main():
     partials = rand(NC, num_chunks - 1, m)
     xs = rand(m)
     pi_hash = rand(4)
-    k_is = [int(v) for v in rng.integers(1, field.P, size=R_WIRES)]
+    k_is = [int(v) for v in
+            rng.integers(1, field.P, size=R_WIRES, dtype=np.uint64)]
     betas, gammas, alphas = rand(NC), rand(NC), rand(NC)
 
     # A  vanishing prep
