@@ -274,7 +274,11 @@ def _stage_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
             for c in range(nc)
         }
         pi_hash_alg = [jnp.broadcast_to(pi_hash[i], (m,)) for i in range(4)]
-        zh = field.sub(field.exp_vec(xs, n), np.uint64(1))
+        # Z_H and 1/Z_H are rate-periodic on the coset: tiny tiled host
+        # tables (fri.zh_tables) instead of exp_vec + a ~100-mul inv_vec
+        zh8, zh_inv8 = zh_tables(degree_bits, rate_bits,
+                                 field.MULTIPLICATIVE_GROUP_GENERATOR)
+        zh = jnp.tile(jnp.asarray(zh8), n)
         l0 = field.mul(zh, field.inv_vec(
             field.mul_small(field.sub(xs, np.uint64(1)), n % P)))
         combined = eval_combined(
@@ -282,7 +286,7 @@ def _stage_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
             sigma_rows, zs_rows, zs_next_rows, partials_lde,
             [betas[c] for c in range(nc)], [gammas[c] for c in range(nc)],
             [alphas[c] for c in range(nc)], pi_hash_alg, l0)
-        zh_inv = field.inv_vec(zh)
+        zh_inv = jnp.tile(jnp.asarray(zh_inv8), n)
         chunks = []
         for c in range(nc):
             t_coeffs = nttmod.coset_intt(field.mul(combined[c], zh_inv))

@@ -38,6 +38,24 @@ def coset_points(log_m: int, shift: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def zh_tables(degree_bits: int, rate_bits: int, shift: int):
+    """Period tables for Z_H(x) = x^n - 1 on the natural-order LDE coset.
+
+    With x_i = shift * omega^i and omega of order m = n * rate,
+    x_i^n = shift^n * omega^(n * (i mod rate)) — Z_H is ``rate``-periodic,
+    so its values (and their inverses) are ``rate`` host-computable
+    constants instead of an in-program exp_vec + inv_vec over all m points.
+    Python-int exact: identical canonical values to the chains replaced."""
+    n = 1 << degree_bits
+    rate = 1 << rate_bits
+    w = int(field.primitive_root_of_unity(rate_bits))
+    s_n = pow(shift % field.P, n, field.P)
+    zh = [(s_n * pow(w, j, field.P) - 1) % field.P for j in range(rate)]
+    zh_inv = [pow(v, field.P - 2, field.P) for v in zh]
+    return (np.array(zh, dtype=np.uint64), np.array(zh_inv, dtype=np.uint64))
+
+
+@lru_cache(maxsize=None)
 def _inv_2x(log_m: int, shift: int) -> np.ndarray:
     """1 / (2 * x_i) for the first half of the coset (fold denominators)."""
     pts = coset_points(log_m, shift)[: (1 << log_m) // 2]

@@ -219,9 +219,9 @@ class PoseidonGate(Gate):
             return xp.asarray(np.array(vals, dtype=np.uint64))[:, None]
 
         def mds(arr):
-            # circulant+diag MDS across the stacked axis (exact, same math
-            # as the scalar sum of mul_consts)
-            return _pm._mds_layer(arr.T, xp).T
+            # circulant+diag MDS on the (12, m) stack (exact, same math
+            # as the scalar sum of mul_consts; no transpose relayout)
+            return _pm._mds_layer_cols(arr, xp)
 
         def full_round_check(base, prev7, rc_next):
             acc = field.add(mds(prev7), col(rc_next))
@@ -235,29 +235,42 @@ class PoseidonGate(Gate):
         s2_7 = field.exp7(stack(_S2, WIDTH))
         blocks.append(full_round_check(_S3, s2_7, _rc_row(3)))
 
-        pr_rows, s26_rows = _partial_round_affine()
+        # Partial phase: evaluate the SAME affine maps as
+        # _partial_round_affine, but by the sequential 22-round recurrence
+        # instead of the dense (34, 35) basis accumulation.  Each step is a
+        # small-constant MDS pass (~26 u32 lane-muls/point) vs ~130 full
+        # field muls/point for the dense form; every step is exact
+        # canonical mod-p arithmetic, so the constraint values (and hence
+        # all proof transcripts) are bit-identical.
+        #   state_k = s-box input vector of partial round k
+        #   constraint_k = PR_k - state_k[0]
+        #   state_{k+1} = MDS @ (state_k with lane0 := PR_k^7) + RC_{5+k}
         s3_7 = field.exp7(stack(_S3, WIDTH))
         pr_w = stack(_PR, PARTIAL_ROUNDS)
         pr_7 = field.exp7(pr_w)
-        basis = xp.concatenate([s3_7, pr_7], axis=0)          # (34, m)
-        n_rows = PARTIAL_ROUNDS + WIDTH
-        n_basis = 1 + WIDTH + PARTIAL_ROUNDS
-        mat = np.zeros((n_rows, n_basis), dtype=np.uint64)
-        for k in range(PARTIAL_ROUNDS):
-            row = pr_rows[k][:1 + WIDTH + k]
-            mat[k, :len(row)] = row
-        for i in range(WIDTH):
-            mat[PARTIAL_ROUNDS + i, :] = s26_rows[i]
-        m_pts = wires[0].shape[-1]
-        acc = xp.broadcast_to(xp.asarray(mat[:, 0])[:, None], (n_rows, m_pts))
-        for b in range(1, n_basis):
-            cb = mat[:, b]
-            if not cb.any():
-                continue
-            acc = field.add(acc, field.mul(xp.asarray(cb)[:, None],
-                                           basis[b - 1][None, :]))
-        blocks.append(field.sub(pr_w, acc[:PARTIAL_ROUNDS]))
-        blocks.append(field.sub(stack(_S26, WIDTH), acc[PARTIAL_ROUNDS:]))
+        state = field.add(mds(s3_7), col(_rc_row(HALF_FULL_ROUNDS)))
+        rc_next = np.array(
+            [_rc_row(HALF_FULL_ROUNDS + k + 1) for k in range(PARTIAL_ROUNDS)],
+            dtype=np.uint64)                                   # (22, 12)
+        if xp is np:
+            lane0 = []
+            for k in range(PARTIAL_ROUNDS):
+                lane0.append(state[0])
+                x = np.concatenate([pr_7[k:k + 1], state[1:]], axis=0)
+                state = field.add(mds(x), rc_next[k][:, None])
+            lane0 = np.stack(lane0)
+        else:
+            import jax
+
+            def step(st, inp):
+                p7k, rck = inp
+                x = xp.concatenate([p7k[None, :], st[1:]], axis=0)
+                return field.add(mds(x), rck[:, None]), st[0]
+
+            state, lane0 = jax.lax.scan(
+                step, state, (pr_7, xp.asarray(rc_next)))
+        blocks.append(field.sub(pr_w, lane0))
+        blocks.append(field.sub(stack(_S26, WIDTH), state))
 
         s26_7 = field.exp7(stack(_S26, WIDTH))
         blocks.append(full_round_check(_S27, s26_7, _rc_row(27)))

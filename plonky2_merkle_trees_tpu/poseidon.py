@@ -58,6 +58,27 @@ def _mds_layer(state, xp):
     return field.reduce128(top, lo)
 
 
+def _mds_layer_cols(state, xp):
+    """``_mds_layer`` twin for (12, m) stacks — lanes on axis 0, points on
+    the minor axis so the big dimension stays on the TPU vector lanes and
+    no (12, m) <-> (m, 12) relayout is needed.  Same exact accumulate-then-
+    reduce math; bit-identical outputs."""
+    m32 = xp.uint64(field.MASK32)
+    s_lo = state & m32          # (12, m)
+    s_hi = state >> 32
+    diag = xp.asarray(_DIAG)[:, None]
+    acc_lo = diag * s_lo
+    acc_hi = diag * s_hi
+    for k in range(WIDTH):
+        c = xp.uint64(int(_CIRC[k]))
+        acc_lo = acc_lo + c * xp.roll(s_lo, -k, axis=0)
+        acc_hi = acc_hi + c * xp.roll(s_hi, -k, axis=0)
+    top = acc_hi >> 32
+    lo = ((acc_hi & m32) << 32) + acc_lo
+    top = top + (lo < acc_lo).astype(xp.uint64)
+    return field.reduce128(top, lo)
+
+
 def _full_round(state, rc_row, xp):
     state = field.add(state, rc_row)
     state = field.exp7(state)
