@@ -45,7 +45,7 @@ from ..poseidon_constants import RATE, WIDTH
 from .challenger import Challenger
 from .commitment import MerkleCommitment, PolynomialBatch
 from .field_ext import ExtensionField, ext_mul, W
-from .fri import FriProof, check_pow, coset_points, gather_query_rounds
+from .fri import FriProof, check_pow, coset_points, gather_query_rounds, zh_tables
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
 from .vanishing import CHUNK, eval_combined
 from .algebra import BatchAlgebra
