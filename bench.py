@@ -13,11 +13,15 @@ from plonky2 0.1.3's single-threaded Rust on one modern core:
   * depth-4 recursion chain: 4 proves of that class -> 4.0 s (circuit
     rebuild time, which the reference pays per level, excluded).
 
-Each line is printed (and flushed) as soon as its metric is measured, so a
-truncated run still reports everything it finished.  The LAST line — the
-one the driver parses — is the flagship standard-config recursive prove,
-the framework's reason to exist.  Time metrics report seconds with
-``vs_baseline`` = anchor_seconds / measured_seconds (higher is better).
+Ordering is deadline-aware (round-2 lesson: the driver killed the run at
+its time budget before the flagship line was printed).  The FLAGSHIP
+metric — the standard-config recursive prove, the framework's reason to
+exist — is measured FIRST and its line printed immediately; the cheap
+kernel metrics follow; the expensive extras (depth-4 chain, pipelined
+batch) run only while ``time elapsed < PMT_BENCH_DEADLINE`` (default
+420 s).  The flagship prove line is then re-emitted as the LAST line,
+which is what the driver parses — so a truncated run still reports the
+flagship as long as it got past the first measurement.
 
 PMT_BENCH_FAST=1 runs only the cheap kernel metrics (hashing, tree, NTT).
 """
@@ -28,7 +32,7 @@ import time
 
 import numpy as np
 
-import plonky2_merkle_trees_tpu as pmt
+import plonky2_merkle_trees_tpu as pmt  # noqa: F401  (enables x64 + cache)
 from plonky2_merkle_trees_tpu import field
 import jax
 import jax.numpy as jnp
@@ -40,10 +44,19 @@ ANCHOR_PROVE_S = 1.0
 ANCHOR_VERIFY_S = 0.01
 ANCHOR_CHAIN4_S = 4.0
 
+_T0 = time.perf_counter()
+_DEADLINE_S = float(os.environ.get("PMT_BENCH_DEADLINE", "420"))
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
 
 def emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                      "vs_baseline": vs_baseline}), flush=True)
+    line = {"metric": metric, "value": value, "unit": unit,
+            "vs_baseline": vs_baseline}
+    print(json.dumps(line), flush=True)
+    return line
 
 
 def bench_poseidon():
@@ -144,6 +157,47 @@ def _flagship_case():
     return outer, pw2
 
 
+def bench_flagship():
+    """Measure the flagship prove + verify; returns (prove_line, context)
+    so main() can re-emit the prove line last and reuse the built circuit
+    for the pipelined extra."""
+    outer, pw2 = _flagship_case()
+    proof = outer.prove(pw2)  # cold: XLA loads / first traces
+    outer.verify(proof)
+
+    iters = 3
+    start = time.perf_counter()
+    for _ in range(iters):
+        proof = outer.prove(pw2)
+    prove_s = (time.perf_counter() - start) / iters
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        outer.verify(proof)
+    verify_s = (time.perf_counter() - start) / iters
+
+    emit("flagship_recursive_verify_seconds", round(verify_s, 4), "s",
+         round(ANCHOR_VERIFY_S / verify_s, 2))
+    prove_line = emit("flagship_recursive_prove_warm_seconds",
+                      round(prove_s, 4), "s",
+                      round(ANCHOR_PROVE_S / prove_s, 2))
+    return prove_line, (outer, pw2, prove_s)
+
+
+def bench_pipelined(outer, pw2, prove_s):
+    # pipelined batch serving throughput: host phases of prove i+1 overlap
+    # device execution of prove i (docs/device_prover.md); the anchor is
+    # the serial-prove rate, so vs_baseline here = pipelining speedup
+    from plonky2_merkle_trees_tpu.plonk import prove_pipelined
+    batch = 4
+    start = time.perf_counter()
+    proofs = prove_pipelined([(outer, pw2)] * batch)
+    piped_s = (time.perf_counter() - start) / batch
+    outer.verify(proofs[-1])
+    emit("flagship_pipelined_batch_prove_seconds_per_proof",
+         round(piped_s, 4), "s", round(prove_s / piped_s, 3))
+
+
 def bench_chain4():
     from plonky2_merkle_trees_tpu import MerkleTree
     from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
@@ -170,48 +224,21 @@ def bench_chain4():
          round(ANCHOR_CHAIN4_S / secs, 2))
 
 
-def bench_flagship():
-    outer, pw2 = _flagship_case()
-    proof = outer.prove(pw2)  # cold: XLA loads / first traces
-    outer.verify(proof)
-
-    iters = 3
-    start = time.perf_counter()
-    for _ in range(iters):
-        proof = outer.prove(pw2)
-    prove_s = (time.perf_counter() - start) / iters
-
-    # pipelined batch serving throughput: host phases of prove i+1 overlap
-    # device execution of prove i (docs/device_prover.md); the anchor is
-    # the serial-prove rate, so vs_baseline here = pipelining speedup
-    from plonky2_merkle_trees_tpu.plonk import prove_pipelined
-    batch = 4
-    start = time.perf_counter()
-    proofs = prove_pipelined([(outer, pw2)] * batch)
-    piped_s = (time.perf_counter() - start) / batch
-    outer.verify(proofs[-1])
-    emit("flagship_pipelined_batch_prove_seconds_per_proof",
-         round(piped_s, 4), "s", round(prove_s / piped_s, 3))
-
-    start = time.perf_counter()
-    for _ in range(iters):
-        outer.verify(proof)
-    verify_s = (time.perf_counter() - start) / iters
-
-    emit("flagship_recursive_verify_seconds", round(verify_s, 4), "s",
-         round(ANCHOR_VERIFY_S / verify_s, 2))
-    # LAST line (the driver's parsed metric): the flagship warm prove.
-    emit("flagship_recursive_prove_warm_seconds", round(prove_s, 4), "s",
-         round(ANCHOR_PROVE_S / prove_s, 2))
-
-
 def main():
+    fast_only = os.environ.get("PMT_BENCH_FAST", "0") == "1"
+    prove_line = None
+    if not fast_only:
+        prove_line, (outer, pw2, prove_s) = bench_flagship()
     bench_poseidon()
     bench_tree24()
     bench_ntt20()
-    if os.environ.get("PMT_BENCH_FAST", "0") != "1":
-        bench_chain4()
-        bench_flagship()
+    if not fast_only:
+        if _elapsed() < _DEADLINE_S:
+            bench_pipelined(outer, pw2, prove_s)
+        if _elapsed() < _DEADLINE_S:
+            bench_chain4()
+        # LAST line (the driver's parsed metric): the flagship warm prove.
+        print(json.dumps(prove_line), flush=True)
 
 
 if __name__ == "__main__":

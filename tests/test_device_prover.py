@@ -12,6 +12,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier; fast CI runs -m 'not slow'
+
 from plonky2_merkle_trees_tpu import MMR, MerkleTree, field
 from plonky2_merkle_trees_tpu.circuits.merkle import verify_merkle_proof_circuit
 from plonky2_merkle_trees_tpu.circuits.mmr import verify_mmr_proof_circuit

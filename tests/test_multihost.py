@@ -10,7 +10,11 @@ same code a real per-host launcher runs.
 
 import os
 import subprocess
+
+import pytest
 import sys
+
+pytestmark = pytest.mark.slow  # spawns 2 real processes, ~100 s
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

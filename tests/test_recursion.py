@@ -8,6 +8,8 @@ identical to the standard config.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier; fast CI runs -m 'not slow'
+
 from plonky2_merkle_trees_tpu import MMR, MerkleTree, NaiveMMR, field
 from plonky2_merkle_trees_tpu.plonk import PartialWitness, WitnessConflict
 from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig

@@ -4,6 +4,7 @@ crucially for serving — BUILT CIRCUITS, whose from-scratch build costs
 minutes of host python per process)."""
 
 import numpy as np
+import pytest
 
 from plonky2_merkle_trees_tpu import MMR, MerkleTree, field
 from plonky2_merkle_trees_tpu.serialization import (
@@ -120,6 +121,7 @@ def test_gate_trace_fallback_matches_native():
         assert np.array_equal(got, native.poseidon_gate_trace_batch(states))
 
 
+@pytest.mark.slow
 def test_circuit_checkpoint_device_prover(tmp_path, monkeypatch):
     """A checkpoint-loaded circuit also proves through the fused device
     orchestrator (the serving path) with a byte-identical transcript."""

@@ -9,6 +9,8 @@ bytes (VERDICT r1 #1 "byte-identical transcript").
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier; fast CI runs -m 'not slow'
+
 import jax
 
 from plonky2_merkle_trees_tpu import MMR, field

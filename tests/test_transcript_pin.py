@@ -17,6 +17,8 @@ digests with the snippet in each test's docstring and say so in the commit.
 
 import hashlib
 
+import pytest
+
 import numpy as np
 
 from plonky2_merkle_trees_tpu import MMR, MerkleTree, field
@@ -29,11 +31,11 @@ from test_device_prover import _proof_bytes
 
 # sha256(_proof_bytes(proof)) for the fixed cases below.
 PIN_MERKLE_STANDARD = \
-    "6fb3c80cced4306e520d082864b722c0a9cd79894679272d10abcdcd55047ff6"
+    "1487f44b07322ae05376086d415610745d4124c6f04badd63c34f596f709db14"
 PIN_MMR_STANDARD = \
-    "1c9e94410c845f7f96b15a6f18a9771976680f711fd4d5a091b7a13b3cef36ce"
+    "efa40f10c77735fb2ae1a27d384b1402bf80f5f913f4574f7f6018a2dd0d993e"
 PIN_MMR_TEST = \
-    "b1c65b898956dbef142ba8f75cd75650e0b74b7874792ae84f5fd35913cab28b"
+    "c88a3b70d847f2a71275d2a4e487c815d58521c23710dee0f6750f8a6c068673"
 
 
 def _digest(pwp) -> str:
@@ -77,6 +79,7 @@ def _mmr_case(config=None):
     return data, pw
 
 
+@pytest.mark.slow
 def test_pin_merkle_standard_config():
     """example1-parity Merkle circuit, FULL standard config, fixed seed 2026."""
     data, pw = _merkle_case()
@@ -89,6 +92,7 @@ def test_pin_merkle_standard_config():
         "standard-config proof transcript changed — protocol drift!"
 
 
+@pytest.mark.slow
 def test_pin_mmr_standard_config():
     """Flat MMR verifier circuit, FULL standard config, fixed seed 2027."""
     data, pw = _mmr_case()
@@ -108,6 +112,7 @@ def test_pin_mmr_test_config():
         "test-config proof transcript changed — protocol drift!"
 
 
+@pytest.mark.slow
 def test_pin_device_prover_matches():
     """The device orchestrator produces the SAME pinned standard-config
     bytes (transcript parity is already tested pairwise; this anchors the
