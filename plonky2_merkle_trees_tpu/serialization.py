@@ -222,8 +222,8 @@ def load_circuit(path: str):
             pre_values, config.fri_config.rate_bits,
             config.fri_config.cap_height)
     cap = np.asarray(pre_batch.cap)
-    circuit_digest = poseidon.hash_no_pad_scalar(
-        [int(v) for v in cap.reshape(-1)] + [degree_bits])
+    from .plonk.circuit_data import compute_circuit_digest
+    circuit_digest = compute_circuit_digest(cap, degree_bits, config)
 
     common = CommonCircuitData(
         config=config, degree_bits=degree_bits, selectors=selectors,

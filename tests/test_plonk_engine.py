@@ -182,3 +182,30 @@ def test_vec_engine_matches_legacy_generators():
     assert np.array_equal(m_vec, m_leg)
     for t in data.prover_only.public_inputs:
         assert w_vec.get_target(t) == w_leg.get_target(t)
+
+
+def test_circuit_digest_binds_fri_config():
+    """circuit_digest must change when any proof-system parameter changes,
+    even if the circuit (and thus the constants_sigmas cap) is identical —
+    closes the config-substitution footgun for checkpoint-loaded circuits
+    (serialization.py round-trips the config unauthenticated)."""
+    from dataclasses import replace
+    from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig, FriConfig
+
+    def build(cfg):
+        builder = CircuitBuilder(cfg)
+        x = builder.add_virtual_target()
+        builder.register_public_input(builder.cube(x))
+        return builder.build()
+
+    base = CircuitConfig.test_config()
+    weaker = replace(base, fri_config=FriConfig(num_query_rounds=2,
+                                                proof_of_work_bits=0))
+    d_base = build(base)
+    d_weak = build(weaker)
+    import numpy as np
+    # same circuit -> same preprocessed cap; digest still differs
+    assert np.array_equal(d_base.verifier_only.constants_sigmas_cap,
+                          d_weak.verifier_only.constants_sigmas_cap)
+    assert not np.array_equal(d_base.verifier_only.circuit_digest,
+                              d_weak.verifier_only.circuit_digest)
