@@ -48,6 +48,9 @@ class CommonCircuitData:
     gate_constants: np.ndarray             # (2, N)
     k_is: List[int]                        # routed-wire coset shifts
     num_public_inputs: int
+    # zero-knowledge only: noop rows whose wires get fresh random values at
+    # prove time (plonky2 0.1.3's blind_and_pad analog); empty when zk=false
+    blinding_rows: List[int] = dc_field(default_factory=list)
 
     @property
     def degree(self) -> int:
@@ -91,6 +94,12 @@ class CircuitData:
         self.verifier_only = verifier_only
 
     def prove(self, partial_witness):
+        if self.common.config.zero_knowledge:
+            # salted oracles + blinding rows live on the host prover path;
+            # the fused device programs commit unsalted leaves (the
+            # reference never proves in zk — docs/protocol.md §10)
+            from .prover import prove
+            return prove(self, partial_witness)
         from .device import device_mode
         if device_mode(self.common):
             from .device import prove_device
@@ -322,6 +331,17 @@ def build_circuit_data(builder, min_degree_bits: int = None) -> CircuitData:
 
     config = builder.config
     num_rows_used = len(builder.rows)
+    # zero-knowledge: reserve noop rows that the prover fills with fresh
+    # random wire values (each cell is a singleton copy class, so sigma =
+    # its own tag and the permutation argument is unaffected).  4 rows give
+    # every wire polynomial 4 random degrees of freedom — enough to hide
+    # the openings at zeta (wires: 1 point; Z: zeta and g*zeta).
+    blinding_rows: List[int] = []
+    if config.zero_knowledge:
+        NUM_BLINDING_ROWS = 4
+        blinding_rows = list(range(num_rows_used,
+                                   num_rows_used + NUM_BLINDING_ROWS))
+        num_rows_used += NUM_BLINDING_ROWS
     degree_bits = max(MIN_ROWS_BITS, (num_rows_used - 1).bit_length())
     if min_degree_bits is not None:
         # pad with noop rows to a target degree — lets circuits of different
@@ -329,7 +349,7 @@ def build_circuit_data(builder, min_degree_bits: int = None) -> CircuitData:
         # inner and outer degrees to agree at a fixpoint)
         degree_bits = max(degree_bits, min_degree_bits)
     n = 1 << degree_bits
-    rows = list(builder.rows) + [(NoopGate(), (0, 0))] * (n - num_rows_used)
+    rows = list(builder.rows) + [(NoopGate(), (0, 0))] * (n - len(builder.rows))
 
     num_selectors = len(GATE_REGISTRY)
     selectors = np.zeros((num_selectors, n), dtype=np.uint64)
@@ -389,7 +409,8 @@ def build_circuit_data(builder, min_degree_bits: int = None) -> CircuitData:
     common = CommonCircuitData(
         config=config, degree_bits=degree_bits, selectors=selectors,
         gate_constants=gate_constants, k_is=k_is,
-        num_public_inputs=len(builder.public_inputs))
+        num_public_inputs=len(builder.public_inputs),
+        blinding_rows=blinding_rows)
 
     # Precompute prove-time fast paths: the union-find is final now, so (a)
     # resolve every node's root ONCE (WitnessStore then does a single dict

@@ -126,22 +126,35 @@ class PolynomialBatch:
     lde_values: np.ndarray   # (num_polys, N << rate_bits), coset g*H
     tree: MerkleCommitment
     rate_bits: int
+    salt: np.ndarray = None  # (M, 4) zero-knowledge leaf salt, or None
 
     @staticmethod
-    def from_values(values, rate_bits: int, cap_height: int) -> "PolynomialBatch":
+    def from_values(values, rate_bits: int, cap_height: int,
+                    salt_rng=None) -> "PolynomialBatch":
         values = np.asarray(values, dtype=np.uint64)
         coeffs = nttmod.intt(values)
         return PolynomialBatch.from_coeffs(coeffs, rate_bits, cap_height,
-                                           values=values)
+                                           values=values, salt_rng=salt_rng)
 
     @staticmethod
     def from_coeffs(coeffs, rate_bits: int, cap_height: int,
-                    values=None) -> "PolynomialBatch":
+                    values=None, salt_rng=None) -> "PolynomialBatch":
+        """``salt_rng``: when given (zero_knowledge proving), 4 fresh random
+        field elements are appended to every Merkle LEAF — openings reveal
+        leaf rows, so the salt makes each revealed row statistically hiding
+        (plonky2 0.1.3's salted-oracle technique; SALT_SIZE = 4).  The
+        polynomials themselves are unchanged."""
         coeffs = np.asarray(coeffs, dtype=np.uint64)
         lde = np.asarray(nttmod.coset_lde(coeffs, rate_bits), dtype=np.uint64)
-        tree = MerkleCommitment(np.ascontiguousarray(lde.T), cap_height)
+        leaf_mat = np.ascontiguousarray(lde.T)
+        salt = None
+        if salt_rng is not None:
+            salt = salt_rng.integers(0, field.P, size=(leaf_mat.shape[0], 4),
+                                     dtype=np.uint64)
+            leaf_mat = np.concatenate([leaf_mat, salt], axis=1)
+        tree = MerkleCommitment(leaf_mat, cap_height)
         return PolynomialBatch(values=values, coeffs=coeffs, lde_values=lde,
-                               tree=tree, rate_bits=rate_bits)
+                               tree=tree, rate_bits=rate_bits, salt=salt)
 
     @property
     def cap(self) -> np.ndarray:
@@ -154,11 +167,16 @@ class PolynomialBatch:
 
     def open_lde_rows(self, indices):
         """Batched query openings: ([leaf values per index], [path per index]);
-        one gather+transfer per level for device-resident oracles."""
-        xp = field._xp(self.lde_values)
+        one gather+transfer per level for device-resident oracles.  Leaf
+        values include the zero-knowledge salt columns when present."""
         idxs = np.asarray([int(i) for i in indices], dtype=np.int64)
-        sel = idxs if xp is np else xp.asarray(idxs)
-        rows = np.asarray(self.lde_values[:, sel]).T.copy()   # (n_q, num_polys)
+        leaves = self.tree.leaves
+        if leaves is not None and field._xp(leaves) is np:
+            rows = leaves[idxs].copy()                        # incl. salt
+        else:
+            xp = field._xp(self.lde_values)
+            sel = idxs if xp is np else xp.asarray(idxs)
+            rows = np.asarray(self.lde_values[:, sel]).T.copy()  # (n_q, num_polys)
         return list(rows), self.tree.open_many(indices)
 
     def eval_at_ext(self, zeta: ExtensionField) -> List[ExtensionField]:

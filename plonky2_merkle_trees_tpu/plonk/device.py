@@ -821,7 +821,10 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
         combined = eval_combined(
             alg, r_wires, list(k_is), xs, wire_rows, sel_rows, const_rows,
             sigma_rows, zs_rows, zs_next_rows, partials_lde,
-            betas, gammas, alphas, pi_hash_alg, l0)
+            betas, gammas, alphas, pi_hash_alg, l0,
+            # the SPMD-sharded program shards the domain axis across the
+            # mesh; the Pallas kernel is single-device — keep the XLA path
+            gate_kernel=False if mesh is not None else None)
         zh_inv = field.inv_vec(zh)
         # the per-challenge quotient INTT is a SINGLE size-m transform (no
         # batch axis to shard) — stack the nc challenge columns and run the
@@ -1072,6 +1075,7 @@ def prove_pipelined(jobs, mesh=None) -> List[ProofWithPublicInputs]:
     pending, pending_i = None, -1
     for i, (cd, pw) in enumerate(jobs):
         if device_mode(cd.common) and \
+                not cd.common.config.zero_knowledge and \
                 os.environ.get("PMT_PROVER_MONO", "1") != "0":
             nxt = _mono_dispatch(cd, pw, mesh=mesh)
         else:
@@ -1412,6 +1416,11 @@ def prove_device(circuit_data, pw) -> ProofWithPublicInputs:
 
     Default: the monolithic single-program pipeline (prove_device_mono).
     PMT_PROVER_MONO=0 falls back to the per-stage pipeline below."""
+    if circuit_data.common.config.zero_knowledge:
+        # the fused programs commit unsalted leaves; a zk verifier would
+        # reject them — route through the salting host prover instead
+        from .prover import prove as host_prove
+        return host_prove(circuit_data, pw)
     if os.environ.get("PMT_PROVER_MONO", "1") != "0":
         return prove_device_mono(circuit_data, pw)
     return prove_device_staged(circuit_data, pw)
@@ -1425,6 +1434,9 @@ def prove_device_sharded(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
     and FRI — with XLA-inserted collectives at the boundaries (SURVEY.md
     §2.3; the byte-identical transcript is pinned by
     tests/test_sharded_prover.py)."""
+    if circuit_data.common.config.zero_knowledge:
+        from .prover import prove as host_prove
+        return host_prove(circuit_data, pw)
     if mesh is None:
         from ..parallel.mesh import default_mesh
         mesh = default_mesh()

@@ -276,9 +276,14 @@ def gather_query_rounds(indices, oracles, trees, layer_arities,
         pieces.append(cat(gathered, axis=0))
 
     for oracle in oracles:
-        xp = field._xp(oracle.lde_values)
-        sel = idx_np if xp is np else xp.asarray(idx_np)
-        pieces.append(oracle.lde_values[:, sel].T)         # (n_q, num_polys)
+        leaves = oracle.tree.leaves
+        if leaves is not None and field._xp(leaves) is np:
+            # full leaf rows (includes zero-knowledge salt columns if any)
+            pieces.append(leaves[idx_np])
+        else:
+            xp = field._xp(oracle.lde_values)
+            sel = idx_np if xp is np else xp.asarray(idx_np)
+            pieces.append(oracle.lde_values[:, sel].T)     # (n_q, num_polys)
         queue_tree_paths(oracle.tree, idx_np)
 
     idxs = idx_np

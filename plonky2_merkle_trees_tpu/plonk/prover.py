@@ -294,6 +294,22 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
     # 1-2. witness + wire matrix + public inputs
     w = _run_generators(circuit_data, pw)
     wires = _wire_matrix(circuit_data, w)
+
+    # zero-knowledge: fill the reserved blinding rows with fresh random
+    # values (hides wire-poly openings at zeta) and salt every witness
+    # oracle's Merkle leaves below (hides query-round reveals).  Mirrors
+    # plonky2 0.1.3's blind_and_pad + salted PolynomialBatch; the reference
+    # itself never proves in zk, so transcripts for zk=false are unchanged.
+    salt_rng = None
+    if config.zero_knowledge:
+        import os as _os
+        seed = _os.environ.get("PMT_ZK_SEED")
+        salt_rng = np.random.default_rng(int(seed)) if seed \
+            else np.random.default_rng()
+        brows = np.asarray(common.blinding_rows, dtype=np.int64)
+        if brows.size:
+            wires[:, brows] = salt_rng.integers(
+                0, P, size=(wires.shape[0], brows.size), dtype=np.uint64)
     pi_values = []
     for t in po.public_inputs:
         v = w.get_target(t)
@@ -305,7 +321,8 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
 
     # 3. commit wires
     wires_batch = PolynomialBatch.from_values(wires, fri_cfg.rate_bits,
-                                              fri_cfg.cap_height)
+                                              fri_cfg.cap_height,
+                                              salt_rng=salt_rng)
 
     ch = Challenger()
     ch.observe_hash(vo.circuit_digest)
@@ -349,7 +366,8 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
         zsp_rows.extend(partial_rows[c])
     zsp_values = np.stack(zsp_rows, axis=0)       # (nc + nc*(chunks-1), N)
     zsp_batch = PolynomialBatch.from_values(zsp_values, fri_cfg.rate_bits,
-                                            fri_cfg.cap_height)
+                                            fri_cfg.cap_height,
+                                            salt_rng=salt_rng)
     ch.observe_cap(zsp_batch.cap)
     alphas = ch.get_n_challenges(nc)
 
@@ -390,7 +408,8 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
             for i in range(m // n):
                 quotient_chunks.append(t_coeffs[i * n:(i + 1) * n])
     q_batch = PolynomialBatch.from_coeffs(np.stack(quotient_chunks, axis=0),
-                                          fri_cfg.rate_bits, fri_cfg.cap_height)
+                                          fri_cfg.rate_bits, fri_cfg.cap_height,
+                                          salt_rng=salt_rng)
     ch.observe_cap(q_batch.cap)
     zeta = ch.get_extension_challenge()
 

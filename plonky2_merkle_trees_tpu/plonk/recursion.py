@@ -374,6 +374,13 @@ def _virtual_cap(builder: CircuitBuilder, cap_height: int) -> List[HashOutTarget
 def add_virtual_proof_with_pis(builder: CircuitBuilder, common
                                ) -> ProofWithPublicInputsTarget:
     config = common.config
+    if config.zero_knowledge:
+        # zk proofs carry salted oracle leaves; the in-circuit verifier's
+        # fixed leaf shapes do not model the salt columns (neither does the
+        # reference, which never recursively verifies a zk proof)
+        raise NotImplementedError(
+            "in-circuit verification of zero-knowledge proofs is not "
+            "supported; prove the inner circuit with zero_knowledge=False")
     fri_cfg = config.fri_config
     nc = config.num_challenges
     num_chunks = config.num_routed_wires // CHUNK

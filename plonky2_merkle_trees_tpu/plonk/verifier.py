@@ -89,9 +89,13 @@ def verify(circuit_data, pwpi: ProofWithPublicInputs) -> bool:
     lde_shift = field.MULTIPLICATIVE_GROUP_GENERATOR
     lde_omega = field.primitive_root_of_unity(common.lde_bits)
 
-    # expected leaf sizes per oracle (shape check before recombination)
-    oracle_sizes = [num_sel + 2 + r_wires, config.num_wires,
-                    nc * num_chunks, nc * (1 << fri_cfg.rate_bits)]
+    # expected leaf sizes per oracle (shape check before recombination);
+    # zero-knowledge proofs carry 4 salt elements per witness-oracle leaf
+    # (wires / Z+partials / quotient — never the public preprocessed oracle)
+    zk_salt = 4 if config.zero_knowledge else 0
+    real_sizes = [num_sel + 2 + r_wires, config.num_wires,
+                  nc * num_chunks, nc * (1 << fri_cfg.rate_bits)]
+    oracle_sizes = [real_sizes[0]] + [s + zk_salt for s in real_sizes[1:]]
 
     def compute_initial_eval(index: int, initial) -> ExtensionField:
         if len(initial.leaf_values) != 4:
@@ -100,7 +104,10 @@ def verify(circuit_data, pwpi: ProofWithPublicInputs) -> bool:
             if len(lv) != size:
                 raise ValueError("bad oracle leaf size")
         x = ExtensionField(lde_shift * pow(lde_omega, index, P) % P)
-        values = [int(v) for lv in initial.leaf_values for v in lv]
+        # recombine only the real polynomial values (salt is hashed into the
+        # leaf for the Merkle check but is not part of any polynomial)
+        values = [int(v) for lv, rs in zip(initial.leaf_values, real_sizes)
+                  for v in lv[:rs]]
         acc1 = ExtensionField(0)
         for v, y in zip(reversed(values), reversed(ys1)):
             acc1 = acc1 * fri_alpha + (ExtensionField(v) - y)

