@@ -29,8 +29,25 @@ def eval_gate_constraints(alg, selectors, wires, constants, pi_hash):
     return out
 
 
+def _gate_kernel_on(xp) -> bool:
+    """Auto-dispatch for the fused Pallas gate-constraint kernel
+    (ops/gate_kernel.py): traced (jnp) execution on a TPU backend.
+    PMT_GATE_KERNEL=1 forces (interpret mode off-TPU), =0 disables."""
+    if xp is np:
+        return False
+    import os
+    flag = os.environ.get("PMT_GATE_KERNEL", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def eval_combined(alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
-                  zs, zs_next, partials, betas, gammas, alphas, pi_hash, l0):
+                  zs, zs_next, partials, betas, gammas, alphas, pi_hash, l0,
+                  gate_kernel=None):
     """Returns [C_c] for each challenge set c — the full combined constraint.
 
     ALL value arguments — including the beta/gamma/alpha challenges — are
@@ -42,7 +59,8 @@ def eval_combined(alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
     if isinstance(alg, BatchAlgebra):
         return _eval_combined_batch(
             alg, num_routed, k_is, x, wires, selectors, constants, sigmas,
-            zs, zs_next, partials, betas, gammas, alphas, pi_hash, l0)
+            zs, zs_next, partials, betas, gammas, alphas, pi_hash, l0,
+            gate_kernel=gate_kernel)
     gate_terms = eval_gate_constraints(alg, selectors, wires, constants, pi_hash)
     num_chunks = num_routed // CHUNK
     out = []
@@ -98,13 +116,39 @@ def _prod_axis1(arr):
 
 def _eval_combined_batch(alg, num_routed, k_is, x, wires, selectors, constants,
                          sigmas, zs, zs_next, partials, betas, gammas, alphas,
-                         pi_hash, l0):
+                         pi_hash, l0, gate_kernel=None):
     """Stacked-array evaluation: same constraint order/values as the generic
     path (each step is the same exact mod-p arithmetic, reassociated only
     where the operation is associative-commutative on canonical values)."""
     xp = alg.xp
-    gate_terms = eval_gate_constraints(alg, selectors, wires, constants, pi_hash)
     num_chunks = num_routed // CHUNK
+
+    use_kernel = gate_kernel if gate_kernel is not None else _gate_kernel_on(xp)
+    gate_folds = None
+    if use_kernel:
+        # fused Pallas kernel: per challenge set, the alpha-power fold of
+        # ALL gate terms (positions 0..131) in one pass — bit-identical
+        # values to the XLA path below (ops/gate_kernel.py)
+        from ..ops.gate_kernel import (
+            NUM_GATE_TERMS, gate_terms_fold_pallas, POSEIDON_WIRES)
+        from .gates import GATE_INDEX
+        import os
+        interp = os.environ.get("PMT_GATE_KERNEL") == "1" and \
+            __import__("jax").default_backend() != "tpu"
+        w130 = xp.stack([wires[i] for i in range(POSEIDON_WIRES)])
+        sel4 = xp.stack([selectors[GATE_INDEX[g]] for g in
+                         ("arithmetic", "constant", "public_input",
+                          "poseidon")])
+        const2 = xp.stack([constants[0], constants[1]])
+        pi_vec = xp.stack([xp.asarray(pi_hash[i]).reshape(-1)[0]
+                           for i in range(4)])
+        apow = xp.stack([_powers_vec(xp, alphas[c], NUM_GATE_TERMS)
+                         for c in range(len(zs))])
+        gate_folds = gate_terms_fold_pallas(w130, sel4, const2, pi_vec, apow,
+                                            interpret=interp)
+    else:
+        gate_terms = eval_gate_constraints(alg, selectors, wires, constants,
+                                           pi_hash)
 
     routed = xp.stack([wires[i] for i in range(num_routed)])      # (R, m)
     sig = xp.stack([sigmas[i] for i in range(num_routed)])        # (R, m)
@@ -128,11 +172,21 @@ def _eval_combined_batch(alg, num_routed, k_is, x, wires, selectors, constants,
                                 field.mul(prev_stack, f_prod))   # (chunks, m)
 
         z0_term = field.mul(l0, field.sub(zs[c], xp.ones((), dtype=xp.uint64)))
-        terms = xp.concatenate(
-            [xp.stack(gate_terms), z0_term[None, :], chunk_terms], axis=0)
-        n_terms = terms.shape[0]
+        if gate_folds is not None:
+            # gate terms already alpha-folded in-kernel (weight 1); the
+            # trailing terms keep their absolute alpha powers 132, 133, ...
+            from ..ops.gate_kernel import NUM_GATE_TERMS
+            tail = xp.concatenate([z0_term[None, :], chunk_terms], axis=0)
+            pw_all = _powers_vec(xp, alphas[c],
+                                 NUM_GATE_TERMS + 1 + chunk_terms.shape[0])
+            pw = xp.concatenate(
+                [xp.ones((1,), dtype=xp.uint64), pw_all[NUM_GATE_TERMS:]])
+            terms = xp.concatenate([gate_folds[c][None, :], tail], axis=0)
+        else:
+            terms = xp.concatenate(
+                [xp.stack(gate_terms), z0_term[None, :], chunk_terms], axis=0)
+            pw = _powers_vec(xp, alphas[c], terms.shape[0])
         # Horner over reversed(terms) == sum_t alpha^t * terms[t]
-        pw = _powers_vec(xp, alphas[c], n_terms)
         weighted = field.mul(pw[:, None], terms)
         while weighted.shape[0] > 1:
             half = weighted.shape[0] // 2

@@ -77,3 +77,66 @@ def test_forest_root_deterministic_across_runs():
     a = np.asarray(forest_root(jnp.asarray(leaves), mesh))
     b = np.asarray(forest_root(jnp.asarray(leaves), mesh))
     np.testing.assert_array_equal(a, b)
+
+
+def test_gate_fold_kernel_matches_xla():
+    """ops/gate_kernel.py kernel BODY (run eagerly on array-backed refs —
+    the exact ops Pallas executes, minus the block plumbing) vs the XLA
+    gate-term path: bit-identical alpha-folded gate terms.  The compiled
+    kernel itself is covered on hardware by tests/test_pallas_tpu.py."""
+    from plonky2_merkle_trees_tpu.ops import gate_kernel as gk
+    from plonky2_merkle_trees_tpu.plonk.algebra import BatchAlgebra
+    from plonky2_merkle_trees_tpu.plonk.vanishing import (
+        eval_gate_constraints, _powers_vec)
+    from plonky2_merkle_trees_tpu.plonk.gates import GATE_INDEX, NUM_SELECTORS
+
+    m = 128
+    rng = np.random.default_rng(31)
+    wires = rng.integers(0, field.P, size=(135, m), dtype=np.uint64)
+    sels = rng.integers(0, 2, size=(NUM_SELECTORS, m)).astype(np.uint64)
+    consts = rng.integers(0, field.P, size=(2, m), dtype=np.uint64)
+    pi = rng.integers(0, field.P, size=4, dtype=np.uint64)
+    alphas = rng.integers(0, field.P, size=2, dtype=np.uint64)
+
+    alg = BatchAlgebra(np, m)
+    with np.errstate(over="ignore"):
+        gate_terms = eval_gate_constraints(
+            alg, [sels[i] for i in range(NUM_SELECTORS)],
+            [wires[i] for i in range(135)], [consts[0], consts[1]],
+            [np.full(m, v, dtype=np.uint64) for v in pi])
+        assert len(gate_terms) == gk.NUM_GATE_TERMS
+        expected = []
+        apow_rows = []
+        for a in alphas:
+            pw = _powers_vec(np, np.uint64(a), gk.NUM_GATE_TERMS)
+            apow_rows.append(pw)
+            acc = np.zeros(m, dtype=np.uint64)
+            for j, t in enumerate(gate_terms):
+                acc = field.add(acc, field.mul(pw[j], t))
+            expected.append(acc)
+
+    sel4 = np.stack([sels[GATE_INDEX[g]] for g in
+                     ("arithmetic", "constant", "public_input", "poseidon")])
+    params = np.concatenate([pi, np.stack(apow_rows).reshape(-1)])
+
+    def split(x):
+        a = jnp.asarray(x)
+        return ((a & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                (a >> 32).astype(jnp.uint32))
+
+    class Out:
+        def __init__(self, shape):
+            self.buf = np.zeros(shape, dtype=np.uint32)
+
+        def __setitem__(self, key, value):
+            self.buf[key] = np.asarray(value)
+
+    w_lo, w_hi = split(wires[:130])
+    s_lo, s_hi = split(sel4)
+    c_lo, c_hi = split(consts)
+    p_lo, p_hi = split(params.reshape(1, -1))
+    out_lo, out_hi = Out((2, m)), Out((2, m))
+    gk._gate_fold_kernel(2)(w_lo, w_hi, s_lo, s_hi, c_lo, c_hi,
+                            p_lo, p_hi, out_lo, out_hi)
+    got = out_lo.buf.astype(np.uint64) | (out_hi.buf.astype(np.uint64) << 32)
+    np.testing.assert_array_equal(got, np.stack(expected))

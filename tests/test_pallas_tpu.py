@@ -71,3 +71,45 @@ def test_coset_lde_dispatch_bit_exact():
     want = nttmod.coset_lde(coeffs, 3)
     got = np.asarray(jax.jit(lambda c: nttmod.coset_lde(c, 3))(jnp.asarray(coeffs)))
     np.testing.assert_array_equal(want, got)
+
+
+@requires_tpu
+def test_gate_fold_pallas_matches_xla_on_device():
+    """Compiled ops/gate_kernel.py vs the XLA gate-term fold, on hardware."""
+    import jax.numpy as jnp
+    from plonky2_merkle_trees_tpu import field
+    from plonky2_merkle_trees_tpu.ops import gate_kernel as gk
+    from plonky2_merkle_trees_tpu.plonk.algebra import BatchAlgebra
+    from plonky2_merkle_trees_tpu.plonk.vanishing import (
+        eval_gate_constraints, _powers_vec)
+    from plonky2_merkle_trees_tpu.plonk.gates import GATE_INDEX, NUM_SELECTORS
+
+    m = 2048
+    rng = np.random.default_rng(77)
+    wires = rng.integers(0, field.P, size=(135, m), dtype=np.uint64)
+    sels = rng.integers(0, 2, size=(NUM_SELECTORS, m)).astype(np.uint64)
+    consts = rng.integers(0, field.P, size=(2, m), dtype=np.uint64)
+    pi = rng.integers(0, field.P, size=4, dtype=np.uint64)
+    alphas = rng.integers(0, field.P, size=2, dtype=np.uint64)
+
+    alg = BatchAlgebra(np, m)
+    with np.errstate(over="ignore"):
+        gate_terms = eval_gate_constraints(
+            alg, [sels[i] for i in range(NUM_SELECTORS)],
+            [wires[i] for i in range(135)], [consts[0], consts[1]],
+            [np.full(m, v, dtype=np.uint64) for v in pi])
+        expected, apow_rows = [], []
+        for a in alphas:
+            pw = _powers_vec(np, np.uint64(a), gk.NUM_GATE_TERMS)
+            apow_rows.append(pw)
+            acc = np.zeros(m, dtype=np.uint64)
+            for j, t in enumerate(gate_terms):
+                acc = field.add(acc, field.mul(pw[j], t))
+            expected.append(acc)
+
+    sel4 = np.stack([sels[GATE_INDEX[g]] for g in
+                     ("arithmetic", "constant", "public_input", "poseidon")])
+    got = np.asarray(gk.gate_terms_fold_pallas(
+        jnp.asarray(wires[:130]), jnp.asarray(sel4), jnp.asarray(consts),
+        jnp.asarray(pi), jnp.asarray(np.stack(apow_rows)), block=512))
+    np.testing.assert_array_equal(got, np.stack(expected))
