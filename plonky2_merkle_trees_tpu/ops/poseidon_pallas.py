@@ -98,8 +98,14 @@ def _limbs(a):
     return (lo & jnp.uint32(_M16), lo >> 16, hi & jnp.uint32(_M16), hi >> 16)
 
 
-def _reduce_chunks(r):
-    """Eight 16-bit chunks (little-endian) -> canonical (hi, lo) u32 pair."""
+def _reduce_chunks_lazy(r):
+    """Eight 16-bit chunks (little-endian) -> (hi, lo) u32 pair that is
+    value-correct mod p and < 2^64, but NOT canonicalised (may lie in
+    [p, 2^64)).  Safe as input to every primitive here: the 16-bit limb
+    decomposition and the 128-bit reduction are exact for any u64, and the
+    t0+t1 fold's carry math was bounded for arbitrary <2^64 operands
+    (s <= 2^64 - 2^33, so the epsilon-fold cannot re-overflow).  One final
+    _canonicalise at a value's last use restores the canonical form."""
     lo_lo = r[0] | (r[1] << 16)
     lo_hi = r[2] | (r[3] << 16)
     hi_lo = r[4] | (r[5] << 16)
@@ -124,7 +130,12 @@ def _reduce_chunks(r):
     ca = _u32(s1 < t0_hi)
     s_hi = s1 + c1
     over = ca | _u32(s_hi < s1)
-    return _canonicalise(*_fold_epsilon(s_hi, s_lo, over))
+    return _fold_epsilon(s_hi, s_lo, over)
+
+
+def _reduce_chunks(r):
+    """Eight 16-bit chunks (little-endian) -> canonical (hi, lo) u32 pair."""
+    return _canonicalise(*_reduce_chunks_lazy(r))
 
 
 def _carry_chain(cols_lo, cols_hi):
@@ -142,8 +153,9 @@ def _carry_chain(cols_lo, cols_hi):
     return chunks
 
 
-def _mul64(a, b):
-    """Full canonical product of two canonical (hi, lo) u32 pairs."""
+def _mul_cols(a, b):
+    """Column sums of the 16-bit-limb product (shared mul plumbing).
+    Exact for ANY u64 operands (canonical or lazy)."""
     al = _limbs(a)
     bl = _limbs(b)
     cols_lo = [jnp.uint32(0)] * 7
@@ -154,11 +166,11 @@ def _mul64(a, b):
             k = i + j
             cols_lo[k] = cols_lo[k] + (p & jnp.uint32(_M16))
             cols_hi[k] = cols_hi[k] + (p >> 16)
-    return _reduce_chunks(_carry_chain(cols_lo, cols_hi))
+    return cols_lo, cols_hi
 
 
-def _sqr64(a):
-    """Canonical square — symmetric partial products halve the multiplies."""
+def _sqr_cols(a):
+    """Symmetric partial products halve the multiplies."""
     al = _limbs(a)
     cols_lo = [jnp.uint32(0)] * 7
     cols_hi = [jnp.uint32(0)] * 7
@@ -173,14 +185,40 @@ def _sqr64(a):
             two_hi = (p >> 16) << 1
             cols_lo[k] = cols_lo[k] + two_lo
             cols_hi[k] = cols_hi[k] + two_hi
-    return _reduce_chunks(_carry_chain(cols_lo, cols_hi))
+    return cols_lo, cols_hi
+
+
+def _mul64(a, b):
+    """Full canonical product of two (hi, lo) u32 pairs (any u64 inputs)."""
+    return _reduce_chunks(_carry_chain(*_mul_cols(a, b)))
+
+
+def _sqr64(a):
+    """Canonical square."""
+    return _reduce_chunks(_carry_chain(*_sqr_cols(a)))
+
+
+def _mul64_lazy(a, b):
+    """Product, value-correct mod p and < 2^64 but possibly in [p, 2^64)."""
+    return _reduce_chunks_lazy(_carry_chain(*_mul_cols(a, b)))
+
+
+def _sqr64_lazy(a):
+    return _reduce_chunks_lazy(_carry_chain(*_sqr_cols(a)))
 
 
 def _exp7(a):
-    x2 = _sqr64(a)
-    x3 = _mul64(x2, a)
-    x6 = _sqr64(x3)
+    x2 = _sqr64_lazy(a)
+    x3 = _mul64_lazy(x2, a)
+    x6 = _sqr64_lazy(x3)
     return _mul64(x6, a)
+
+
+def _exp7_lazy(a):
+    x2 = _sqr64_lazy(a)
+    x3 = _mul64_lazy(x2, a)
+    x6 = _sqr64_lazy(x3)
+    return _mul64_lazy(x6, a)
 
 
 def _mds(state):
@@ -209,23 +247,82 @@ def _mds(state):
     return out
 
 
-def _poseidon_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-    state = [(hi_ref[i, :], lo_ref[i, :]) for i in range(WIDTH)]
+def _add64_const_lazy(a, c_hi: int, c_lo: int):
+    """a (< 2^64, lazy ok) + canonical compile-time constant; lazy result.
+
+    Safe for non-canonical a: a + c < 2^64 + p, so on 64-bit carry the
+    epsilon-fold lands strictly below 2^64 and cannot re-overflow."""
+    a_hi, a_lo = a
+    lo = a_lo + jnp.uint32(c_lo)
+    carry = _u32(lo < a_lo) if c_lo else jnp.uint32(0)
+    s1 = a_hi + jnp.uint32(c_hi)
+    c1 = _u32(s1 < a_hi) if c_hi else jnp.uint32(0)
+    hi = s1 + carry
+    over = c1 | _u32(hi < s1)
+    return _fold_epsilon(hi, lo, over)
+
+
+def _mds_lazy(state):
+    """MDS layer with a specialised small-overflow reduction: the 2^64
+    coefficient is the single <2^16 carry of the chunk reassembly, so
+    value = lo64 + carry*epsilon needs one subtract/add pair + one
+    epsilon-fold instead of the full 128-bit reduction.  Lazy (<2^64,
+    possibly non-canonical) in and out; exact mod p for any u64 inputs."""
+    limbs = [_limbs(s) for s in state]
+    out = []
+    for r in range(WIDTH):
+        acc = [jnp.uint32(0)] * 4
+        for c in range(WIDTH):
+            m = MDS_MATRIX_CIRC[(c - r) % WIDTH] + (MDS_MATRIX_DIAG[r] if c == r else 0)
+            mm = jnp.uint32(m)
+            for k in range(4):
+                acc[k] = acc[k] + mm * limbs[c][k]
+        chunks = []
+        carry = jnp.uint32(0)
+        for k in range(4):
+            t = acc[k] + carry
+            chunks.append(t & jnp.uint32(_M16))
+            carry = t >> 16
+        lo_lo = chunks[0] | (chunks[1] << 16)
+        lo_hi = chunks[2] | (chunks[3] << 16)
+        # + carry * epsilon = + (carry << 32) - carry
+        b = _u32(lo_lo < carry)
+        s_lo = lo_lo - carry
+        s_hi = lo_hi + (carry - b)     # carry-b >= 0: b=1 implies carry>=1
+        over = _u32(s_hi < lo_hi)
+        out.append(_fold_epsilon(s_hi, s_lo, over))
+    return out
+
+
+def _permute_body(state, canonical_out: bool = True):
+    """Full 30-round permutation over 12 (hi, lo) pairs with LAZY internal
+    reduction (values stay exact mod p, representatives may lie in
+    [p, 2^64)); ``canonical_out`` canonicalises the final state.  Inputs
+    may themselves be lazy — every primitive here accepts any u64."""
     rnd = 0
     for phase, count in ((0, HALF_FULL_ROUNDS), (1, PARTIAL_ROUNDS),
                          (0, HALF_FULL_ROUNDS)):
         for _ in range(count):
             base = 12 * rnd
             state = [
-                _add64_const(s, _RC[base + i] >> 32, _RC[base + i] & 0xFFFFFFFF)
+                _add64_const_lazy(s, _RC[base + i] >> 32,
+                                  _RC[base + i] & 0xFFFFFFFF)
                 for i, s in enumerate(state)
             ]
             if phase == 0:
-                state = [_exp7(s) for s in state]
+                state = [_exp7_lazy(s) for s in state]
             else:
-                state[0] = _exp7(state[0])
-            state = _mds(state)
+                state[0] = _exp7_lazy(state[0])
+            state = _mds_lazy(state)
             rnd += 1
+    if canonical_out:
+        state = [_canonicalise(*s) for s in state]
+    return state
+
+
+def _poseidon_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    state = [(hi_ref[i, :], lo_ref[i, :]) for i in range(WIDTH)]
+    state = _permute_body(state)
     for i in range(WIDTH):
         out_hi_ref[i, :] = state[i][0]
         out_lo_ref[i, :] = state[i][1]
@@ -269,3 +366,60 @@ def two_to_one_pallas(left, right, block: int = 1024):
     state = jnp.concatenate(
         [left, right, jnp.zeros((n, 4), dtype=jnp.uint64)], axis=-1)
     return permute_pallas(state, block=block)[:, :4]
+
+
+# -- fused sponge: hash_n_to_4 over columns of a poly-major matrix ----------
+
+def _hash_columns_kernel(num_rows: int):
+    """Kernel body: each lane is one leaf; absorb the num_rows elements of
+    its column in RATE-sized chunks (hash_n_to_hash_no_pad), state held in
+    registers across ALL absorbs — no per-absorb u64<->u32 conversion, no
+    leaf-major transpose of the input, lazy reduction throughout with one
+    final canonicalisation of the digest lanes."""
+    from ..poseidon_constants import RATE
+
+    def kernel(in_lo, in_hi, out_lo, out_hi):
+        zero = jnp.zeros_like(in_lo[0, :])
+        state = [(zero, zero)] * WIDTH
+        for start in range(0, num_rows, RATE):
+            for i in range(min(RATE, num_rows - start)):
+                state[i] = (in_hi[start + i, :], in_lo[start + i, :])
+            state = _permute_body(state, canonical_out=False)
+        for i in range(4):
+            hi, lo = _canonicalise(*state[i])
+            out_hi[i, :] = hi
+            out_lo[i, :] = lo
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def hash_columns_pallas(matrix, block: int = 1024, interpret: bool = False):
+    """hash_or_noop of every COLUMN of a (R, m) u64 matrix -> (4, m) u64.
+
+    This is the Merkle leaf hash in the LDE's natural poly-major layout
+    (each column = one leaf row of the commitment), fusing the whole
+    R/8-absorb sponge into one kernel.  R must be > 4 (the noop path stays
+    with the caller); m must be a multiple of ``block``.  Bit-exact with
+    poseidon.hash_rows of the transposed matrix."""
+    r, m = int(matrix.shape[0]), int(matrix.shape[1])
+    assert r > 4, r
+    assert m % block == 0, (m, block)
+    lo = (matrix & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (matrix >> 32).astype(jnp.uint32)
+    grid = (m // block,)
+    z = np.int32(0)
+
+    def row_spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (z, i),
+                            memory_space=pltpu.VMEM)
+
+    out_lo, out_hi = pl.pallas_call(
+        _hash_columns_kernel(r),
+        grid=grid,
+        in_specs=[row_spec(r)] * 2,
+        out_specs=[row_spec(4)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((4, m), jnp.uint32)] * 2,
+        interpret=interpret,
+    )(lo, hi)
+    return out_lo.astype(jnp.uint64) | (out_hi.astype(jnp.uint64) << 32)

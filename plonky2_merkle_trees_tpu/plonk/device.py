@@ -45,7 +45,8 @@ from ..poseidon_constants import RATE, WIDTH
 from .challenger import Challenger
 from .commitment import MerkleCommitment, PolynomialBatch
 from .field_ext import ExtensionField, ext_mul, W
-from .fri import FriProof, check_pow, coset_points, gather_query_rounds, zh_tables
+from .fri import (FriProof, _assemble_query_rounds, check_pow, coset_points,
+                  gather_query_rounds, zh_tables)
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
 from .vanishing import CHUNK, eval_combined
 from .algebra import BatchAlgebra
@@ -156,6 +157,45 @@ def _merkle_levels(leaves_matrix, cap_height: int, c=None):
     return levels
 
 
+def _leafhash_kernel_on() -> bool:
+    """Fused column-hash kernel dispatch: TPU backend by default;
+    PMT_LEAFHASH_KERNEL=1 forces (interpret off-TPU), =0 disables."""
+    import jax
+    flag = os.environ.get("PMT_LEAFHASH_KERNEL", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _merkle_levels_cols(lde, cap_height: int, c=None):
+    """_merkle_levels over the COLUMNS of a poly-major (R, m) matrix (each
+    column = one leaf row).  On a single TPU device the leaf level runs as
+    the fused sponge kernel (ops.poseidon_pallas.hash_columns_pallas) in
+    the LDE's natural layout — no (R, m) -> (m, R) transpose, no
+    per-absorb state conversion; bit-exact either way."""
+    r, m = int(lde.shape[0]), int(lde.shape[1])
+    block = next((b for b in (1024, 512, 256, 128) if m % b == 0), None)
+    if c is None and r > 4 and block is not None and _leafhash_kernel_on():
+        from ..ops.poseidon_pallas import hash_columns_pallas
+        import jax
+        interp = (os.environ.get("PMT_LEAFHASH_KERNEL") == "1"
+                  and jax.default_backend() != "tpu")
+        level = hash_columns_pallas(lde, block=block, interpret=interp).T
+        jnp = _jnp()
+        levels = [level]
+        while level.shape[0] > (1 << cap_height):
+            pairs = level.reshape(-1, 2, 4)
+            state = jnp.concatenate(
+                [pairs[:, 0, :], pairs[:, 1, :],
+                 jnp.zeros((pairs.shape[0], 4), dtype=jnp.uint64)], axis=-1)
+            level = _permute_device(state)[:, :4]
+            levels.append(level)
+        return levels
+    return _merkle_levels(lde.T, cap_height, c=c)
+
+
 @lru_cache(maxsize=None)
 def _stage_batch(rate_bits: int, cap_height: int):
     import jax
@@ -163,7 +203,7 @@ def _stage_batch(rate_bits: int, cap_height: int):
     def fn(values):
         coeffs = nttmod.intt(values)
         lde = nttmod.coset_lde(coeffs, rate_bits)
-        levels = _merkle_levels(lde.T, cap_height)
+        levels = _merkle_levels_cols(lde, cap_height)
         return coeffs, lde, levels
 
     return jax.jit(fn)
@@ -184,7 +224,7 @@ def _stage_wires(rate_bits: int, cap_height: int, num_wires: int, n: int):
         wires = wires.at[cols, rows].set(vals)
         coeffs = nttmod.intt(wires)
         lde = nttmod.coset_lde(coeffs, rate_bits)
-        levels = _merkle_levels(lde.T, cap_height)
+        levels = _merkle_levels_cols(lde, cap_height)
         return wires, coeffs, lde, levels
 
     return jax.jit(fn)
@@ -241,7 +281,7 @@ def _stage_zsp(num_chunks: int, rate_bits: int, cap_height: int):
         zsp_values = jnp.stack(rows)
         coeffs = nttmod.intt(zsp_values)
         lde = nttmod.coset_lde(coeffs, rate_bits)
-        levels = _merkle_levels(lde.T, cap_height)
+        levels = _merkle_levels_cols(lde, cap_height)
         return coeffs, lde, levels
 
     return jax.jit(fn)
@@ -294,7 +334,7 @@ def _stage_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
                 chunks.append(t_coeffs[i * n:(i + 1) * n])
         q_coeffs = jnp.stack(chunks)
         lde = nttmod.coset_lde(q_coeffs, rate_bits)
-        levels = _merkle_levels(lde.T, cap_height)
+        levels = _merkle_levels_cols(lde, cap_height)
         return q_coeffs, lde, levels
 
     return jax.jit(fn)
@@ -580,6 +620,72 @@ class DeviceChallenger:
         jnp = _jnp()
         return jnp.stack([a0, a1])
 
+    def grind_and_indices(self, pow_bits: int, n_q: int, m: int,
+                          batch: int = 1 << 17):
+        """Traced PoW grind + FRI query-index derivation (the fused tail).
+
+        Replays exactly the host flow (fri._find_pow_witness /
+        _mono_finish): absorb pending full chunks eagerly, write the <RATE
+        remainder plus a candidate nonce into the rate lanes, permute, and
+        test lane RATE-1 against the threshold — batches scanned in order,
+        first hit returned, so the witness equals the host grind's.  Then
+        observe the witness and squeeze the pow challenge and the n_q query
+        indices (m is a power of two, so ``% m`` is a lane mask).
+
+        Returns (pow_witness u64 scalar, indices (n_q,) u64).  The host
+        re-validates check_pow and re-derives the indices from its replayed
+        transcript; a mismatch fails the prove (determinism guard).
+        """
+        import jax
+        jnp = _jnp()
+        rem_count = len(self.pending) % RATE
+        full, rem = (self.pending[:len(self.pending) - rem_count],
+                     self.pending[len(self.pending) - rem_count:])
+        state = self.state
+        if full:
+            rows = jnp.stack([jnp.stack(full[i:i + RATE])
+                              for i in range(0, len(full), RATE)])
+
+            def absorb(st, vals):
+                st = jnp.concatenate([vals, st[RATE:]])
+                return _permute_device(st[None, :])[0], None
+
+            state, _ = jax.lax.scan(absorb, state, rows)
+        lane = len(rem)
+        template = state
+        for i, v in enumerate(rem):
+            template = template.at[i].set(v)
+        threshold = jnp.uint64(1 << (64 - pow_bits))
+        limit = max(1 << (pow_bits + 12), batch * 4)
+
+        def cond(carry):
+            found, start, _ = carry
+            return jnp.logical_not(found) & (start < jnp.uint64(limit))
+
+        def body(carry):
+            _, start, _ = carry
+            nonces = start + jnp.arange(batch, dtype=jnp.uint64)
+            states = jnp.broadcast_to(template, (batch, WIDTH)) \
+                .at[:, lane].set(nonces)
+            out = _permute_device(states)[:, RATE - 1]
+            hits = out < threshold
+            found = jnp.any(hits)
+            first = start + jnp.argmax(hits).astype(jnp.uint64)
+            return (found, start + jnp.uint64(batch),
+                    jnp.where(found, first, jnp.uint64(0)))
+
+        _, _, nonce = jax.lax.while_loop(
+            cond, body, (jnp.asarray(False), jnp.uint64(0), jnp.uint64(0)))
+
+        self.state = state
+        self.pending = list(rem) + [nonce]
+        self.taken = RATE
+        self.get_challenge()                 # pow response (host validates)
+        mask = jnp.uint64(m - 1)
+        indices = jnp.stack([self.get_challenge() & mask
+                             for _ in range(n_q)])
+        return nonce, indices
+
 
 def _mono_blob_layout(num_sel, r_wires, num_wires, nc, degree_bits, rate_bits,
                       cap_height, arities):
@@ -710,7 +816,8 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
         wires = cst(_gather_wires(V, K, wm_plan, num_wires, n), 0)
         w_coeffs = cst(nttmod.intt(wires), 0)
         w_lde = cst(nttmod.coset_lde(w_coeffs, rate_bits), 0)
-        w_levels = _merkle_levels(w_lde.T, cap_height, c=cst)
+        w_levels = _merkle_levels_cols(w_lde, cap_height,
+                                       c=None if mesh is None else cst)
         w_cap = w_levels[-1]
 
         ch.observe_array(circuit_digest)
@@ -725,21 +832,33 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
         routed = cst(wires[:r_wires], 1)
         tags = cst(tags, 1)
         sigmas = cst(sigmas, 1)
-        f_stack, g_stack = [], []
-        for c in range(nc):
-            f = field.add(routed, field.add(field.mul(tags, betas[c]),
-                                            gammas[c]))
-            g = field.add(routed, field.add(field.mul(sigmas, betas[c]),
-                                            gammas[c]))
-            f_stack.append(f.reshape(num_chunks, CHUNK, n))
-            g_stack.append(g.reshape(num_chunks, CHUNK, n))
-        fp = cst(jnp.stack(f_stack), 3)          # (nc, chunks, CHUNK, n)
-        gp = cst(jnp.stack(g_stack), 3)
-        while fp.shape[2] > 1:                   # pairwise chunk products
-            half_c = fp.shape[2] // 2
-            fp = field.mul(fp[:, :, :half_c], fp[:, :, half_c:])
-            gp = field.mul(gp[:, :, :half_c], gp[:, :, half_c:])
-        ratios = cst(field.mul(fp[:, :, 0], field.inv_vec(gp[:, :, 0])), 2)
+        from ..ops.perm_kernel import perm_kernel_on, ratios_pallas
+        if mesh is None and n % 2048 == 0 and perm_kernel_on():
+            # fused Pallas ratios kernel — bit-identical values (inverse is
+            # value-unique mod p; see ops/perm_kernel.py); the SPMD-sharded
+            # program keeps the XLA path (kernel is single-device)
+            import os
+            interp = (os.environ.get("PMT_PERM_KERNEL") == "1"
+                      and jax.default_backend() != "tpu")
+            ratios = ratios_pallas(routed, tags, sigmas, jnp.stack(betas),
+                                   jnp.stack(gammas), interpret=interp)
+        else:
+            f_stack, g_stack = [], []
+            for c in range(nc):
+                f = field.add(routed, field.add(field.mul(tags, betas[c]),
+                                                gammas[c]))
+                g = field.add(routed, field.add(field.mul(sigmas, betas[c]),
+                                                gammas[c]))
+                f_stack.append(f.reshape(num_chunks, CHUNK, n))
+                g_stack.append(g.reshape(num_chunks, CHUNK, n))
+            fp = cst(jnp.stack(f_stack), 3)      # (nc, chunks, CHUNK, n)
+            gp = cst(jnp.stack(g_stack), 3)
+            while fp.shape[2] > 1:               # pairwise chunk products
+                half_c = fp.shape[2] // 2
+                fp = field.mul(fp[:, :, :half_c], fp[:, :, half_c:])
+                gp = field.mul(gp[:, :, :half_c], gp[:, :, half_c:])
+            ratios = cst(field.mul(fp[:, :, 0], field.inv_vec(gp[:, :, 0])),
+                         2)
         z_rows, closure = [], []
         for c in range(nc):
             rall = ratios[c, 0]
@@ -760,7 +879,8 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
         zsp_values = cst(jnp.stack(rows), 0)     # poly axis for the NTTs
         z_coeffs = cst(nttmod.intt(zsp_values), 0)
         z_lde = cst(nttmod.coset_lde(z_coeffs, rate_bits), 0)
-        z_levels = _merkle_levels(z_lde.T, cap_height, c=cst)
+        z_levels = _merkle_levels_cols(z_lde, cap_height,
+                                       c=None if mesh is None else cst)
         ch.observe_array(z_levels[-1])
         alphas = [ch.get_challenge() for _ in range(nc)]
 
@@ -842,7 +962,8 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
                 chunks.append(t_all[c, i * n:(i + 1) * n])
         q_coeffs = cst(jnp.stack(chunks), 0)
         q_lde = cst(nttmod.coset_lde(q_coeffs, rate_bits), 0)
-        q_levels = _merkle_levels(q_lde.T, cap_height, c=cst)
+        q_levels = _merkle_levels_cols(q_lde, cap_height,
+                                       c=None if mesh is None else cst)
         q_cap = q_levels[-1]
         ch.observe_array(q_cap)
         zeta = ch.get_ext_challenge()
@@ -871,9 +992,16 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
 @lru_cache(maxsize=None)
 def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
                     cap_height: int, arities: tuple, final_len: int,
-                    mesh=None):
+                    mesh=None, tail: tuple = None):
     """Program 3: combine into F(x), the whole FRI commit phase, and the
     final polynomial; challenger through the per-layer betas.
+
+    ``tail`` = (pow_bits, n_q) fuses the PoW grind and the FRI query
+    gathers into the same program (single-device only): the challenger
+    state needed for both is already resident here, so folding them in
+    removes two executable launches + host round trips (~60-90 ms through
+    the axon tunnel) from the critical path.  The host still replays the
+    transcript and re-derives pow/indices as a determinism check.
 
     Sharded: everything here is pointwise over the (shrinking) domain, so
     the layers stay domain-sharded; each fold's half-splits and the coset
@@ -885,7 +1013,7 @@ def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
     cst, rep = _mk_constrainer(mesh)
 
     def fn(ch_state, cs_lde, w_lde, z_lde, q_lde, evs, zeta, zeta_next,
-           fri_alpha, xs):
+           fri_alpha, xs, oracle_levels=None):
         jnp = _jnp()
         ch = DeviceChallenger(ch_state)   # first action is an observe
 
@@ -964,9 +1092,13 @@ def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
             layer_values.append(current)
             mm = int(current.shape[0])
             a = 1 << a_bits
-            leaves = current.reshape(a, mm // a, 2).transpose(1, 0, 2) \
-                .reshape(mm // a, a * 2)
-            levels = _merkle_levels(leaves, eff_cap, c=cst)
+            # column-major leaf matrix: leaves_T[i*2+k, l] == the leaf-major
+            # reshape's leaves[l, i*2+k] — lets the fused column-hash kernel
+            # consume it without the (m//a, 2a) transpose
+            leaves_t = current.reshape(a, mm // a, 2).transpose(0, 2, 1) \
+                .reshape(a * 2, mm // a)
+            levels = _merkle_levels_cols(leaves_t, eff_cap,
+                                         c=None if mesh is None else cst)
             fri_levels.append(levels)
             ch.observe_array(levels[-1])
             beta = ch.get_ext_challenge()
@@ -983,8 +1115,22 @@ def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
         for i in range(final_len):
             ch.observe_element(final_c0[i])
             ch.observe_element(final_c1[i])
-        del ch  # state not needed further: host replay covers PoW + queries
-        return layer_values, fri_levels, final_c0, final_c1
+        if tail is None:
+            # state not needed further: host replay covers PoW + queries
+            return layer_values, fri_levels, final_c0, final_c1
+        pow_bits, n_q = tail
+        nonce, indices = ch.grind_and_indices(pow_bits, n_q, m)
+        from .fri import _gather_traced
+        idx = indices.astype(jnp.int64)
+        qflat = _gather_traced(
+            idx,
+            [cs_lde, w_lde, z_lde, q_lde],
+            [list(levels[:-1]) for levels in oracle_levels],
+            list(layer_values),
+            [list(levels[:-1]) for levels in fri_levels],
+            tuple(arities))
+        return (layer_values, fri_levels, final_c0, final_c1, nonce,
+                indices, qflat)
 
     return jax.jit(fn)
 
@@ -1226,11 +1372,29 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
         if _sync:
             np.asarray(st2)
             _tp("P2 (blocked)")
+    # fused tail (PoW grind + query gathers inside P3): single-device only —
+    # saves two executable launches + tunnel round trips per prove.
+    # Default: TPU backend (the 2^17-batch grind is slow on the CPU mesh);
+    # PMT_FUSED_TAIL=1 forces (CPU parity test), =0 disables.
+    import jax
+    _ft_flag = os.environ.get("PMT_FUSED_TAIL", "auto")
+    fused_tail = (mesh is None and _ft_flag != "0"
+                  and (_ft_flag == "1" or jax.default_backend() == "tpu"))
+    tail = ((fri_cfg.proof_of_work_bits, fri_cfg.num_query_rounds)
+            if fused_tail else None)
     p3 = _stage_mono_fri(nc, common.degree_bits, rate_bits, cap_height,
-                         arities, final_len, mesh=mesh)
-    layer_values, fri_levels, final_c0, final_c1 = p3(
-        st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
-        zeta, zeta_next, fri_alpha, dev_cache["xs"])
+                         arities, final_len, mesh=mesh, tail=tail)
+    if fused_tail:
+        (layer_values, fri_levels, final_c0, final_c1, pow_nonce, q_idx,
+         q_flat) = p3(
+            st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
+            zeta, zeta_next, fri_alpha, dev_cache["xs"],
+            oracle_levels=[list(cs_dev.tree.levels), list(w_levels),
+                           list(z_levels), list(q_levels)])
+    else:
+        layer_values, fri_levels, final_c0, final_c1 = p3(
+            st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
+            zeta, zeta_next, fri_alpha, dev_cache["xs"])
     if _sync:
         np.asarray(final_c0)
         _tp("P3 (blocked)")
@@ -1244,6 +1408,14 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
     layout = _mono_blob_layout(num_sel, r_wires, config.num_wires, nc,
                                common.degree_bits, rate_bits, cap_height,
                                arities)
+    if fused_tail:
+        pieces["pow_witness"] = jnp.reshape(pow_nonce, (1,))
+        pieces["query_idx"] = q_idx
+        pieces["query_flat"] = q_flat
+        layout = layout + [
+            ("pow_witness", (1,)),
+            ("query_idx", (int(q_idx.shape[0]),)),
+            ("query_flat", (int(q_flat.shape[0]),))]
     blob = jnp.concatenate([pieces[name].reshape(-1).astype(jnp.uint64)
                             for name, _ in layout])
     return _PendingProof(
@@ -1329,8 +1501,16 @@ def _mono_finish(pending: _PendingProof) -> ProofWithPublicInputs:
         ch.observe_extension(coeff)
 
     _tp("parse + replay")
-    pow_witness = _find_pow_witness_device(ch, fri_cfg.proof_of_work_bits)
-    assert check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits)
+    if "pow_witness" in parsed:
+        # fused tail: the grind ran inside P3 — validate against the host
+        # transcript replay (same check_pow the separate grind asserts)
+        pow_witness = int(parsed["pow_witness"][0])
+        assert check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits), \
+            "device PoW witness rejected by the host transcript replay"
+    else:
+        pow_witness = _find_pow_witness_device(ch,
+                                               fri_cfg.proof_of_work_bits)
+        assert check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits)
     _tp("pow grind")
 
     n_q = fri_cfg.num_query_rounds
@@ -1347,8 +1527,29 @@ def _mono_finish(pending: _PendingProof) -> ProofWithPublicInputs:
         eff = min(cap_height, cur_log - a_bits)
         trees.append(MerkleCommitment.from_levels(fri_levels[li], eff))
         cur_log -= a_bits
-    query_rounds = gather_query_rounds(indices, oracles, trees,
-                                       list(arities), layer_values)
+    if "query_flat" in parsed:
+        # fused tail: gathers already rode the blob — slice and assemble
+        assert np.array_equal(
+            np.asarray(indices, dtype=np.uint64), parsed["query_idx"]), \
+            "device/host query-index divergence (transcript mismatch)"
+        shapes = []
+        for o in oracles:
+            shapes.append((n_q, int(o.lde_values.shape[0])))
+            shapes.append(((len(o.tree.levels) - 1) * n_q, 4))
+        for t, a_bits in zip(trees, arities):
+            shapes.append((n_q * (1 << a_bits), 2))
+            shapes.append(((len(t.levels) - 1) * n_q, 4))
+        flat = parsed["query_flat"]
+        fetched, off = [], 0
+        for s in shapes:
+            size = int(np.prod(s))
+            fetched.append(flat[off:off + size].reshape(s))
+            off += size
+        query_rounds = _assemble_query_rounds(indices, oracles, trees,
+                                              list(arities), fetched)
+    else:
+        query_rounds = gather_query_rounds(indices, oracles, trees,
+                                           list(arities), layer_values)
     _tp("query gathers")
 
     fri_proof = FriProof(commit_caps=fri_caps, final_poly=final_poly,

@@ -124,6 +124,47 @@ def _eval_combined_batch(alg, num_routed, k_is, x, wires, selectors, constants,
     num_chunks = num_routed // CHUNK
 
     use_kernel = gate_kernel if gate_kernel is not None else _gate_kernel_on(xp)
+
+    import os
+    m_pts = int(xp.asarray(x).shape[0])
+    block = next((b for b in (1024, 512, 256, 128) if m_pts % b == 0), None)
+    if (use_kernel and os.environ.get("PMT_FULL_KERNEL", "1") != "0"
+            and num_routed % CHUNK == 0 and block is not None):
+        # one fused Pallas pass for the WHOLE combined constraint — gate
+        # terms + L0*(Z-1) + permutation chunk links (ops/gate_kernel.py
+        # combined_fold_pallas); bit-identical values to the path below
+        from ..ops.gate_kernel import (
+            NUM_GATE_TERMS, POSEIDON_WIRES, combined_fold_pallas)
+        from .gates import GATE_INDEX
+        interp = os.environ.get("PMT_GATE_KERNEL") == "1" and \
+            __import__("jax").default_backend() != "tpu"
+        nc = len(zs)
+        num_chunks = num_routed // CHUNK
+        w130 = xp.stack([wires[i] for i in range(POSEIDON_WIRES)])
+        sel4 = xp.stack([selectors[GATE_INDEX[g]] for g in
+                         ("arithmetic", "constant", "public_input",
+                          "poseidon")])
+        const2 = xp.stack([constants[0], constants[1]])
+        sig = xp.stack([sigmas[i] for i in range(num_routed)])
+        zstack = xp.stack(
+            [row for c in range(nc)
+             for row in [zs[c]] + list(partials[c]) + [zs_next[c]]])
+        l0_x = xp.stack([l0, x])
+        pi_vec = xp.stack([xp.asarray(pi_hash[i]).reshape(-1)[0]
+                           for i in range(4)])
+        apow = xp.stack([_powers_vec(xp, alphas[c],
+                                     NUM_GATE_TERMS + 1 + num_chunks)
+                         for c in range(nc)])
+        beta_vec = xp.stack([xp.asarray(betas[c]).reshape(()) for c in
+                             range(nc)])
+        gamma_vec = xp.stack([xp.asarray(gammas[c]).reshape(()) for c in
+                              range(nc)])
+        k_tuple = tuple(int(k) % P for k in k_is)
+        out = combined_fold_pallas(w130, sel4, const2, sig, zstack, l0_x,
+                                   pi_vec, apow, beta_vec, gamma_vec,
+                                   k_tuple, block=block, interpret=interp)
+        return [out[c] for c in range(nc)]
+
     gate_folds = None
     if use_kernel:
         # fused Pallas kernel: per challenge set, the alpha-power fold of

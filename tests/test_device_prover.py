@@ -164,3 +164,15 @@ def test_prove_merged_program_transcript_parity(merkle_case, monkeypatch):
     p_dev = dev_prover.prove_device(data, pw)
     data.verify(p_dev)
     assert _proof_bytes(p_np) == _proof_bytes(p_dev)
+
+
+def test_device_prover_fused_tail_parity(merkle_case, monkeypatch):
+    """PMT_FUSED_TAIL=1: the in-P3 PoW grind + query gather (device.py
+    _stage_mono_fri tail / DeviceChallenger.grind_and_indices) stays
+    byte-identical to the host grind + separate gather program."""
+    monkeypatch.setenv("PMT_FUSED_TAIL", "1")
+    data, pw = merkle_case
+    p_np = host_prover.prove(data, pw)
+    p_dev = dev_prover.prove_device(data, pw)
+    data.verify(p_dev)
+    assert _proof_bytes(p_np) == _proof_bytes(p_dev)

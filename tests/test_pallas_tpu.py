@@ -113,3 +113,42 @@ def test_gate_fold_pallas_matches_xla_on_device():
         jnp.asarray(wires[:130]), jnp.asarray(sel4), jnp.asarray(consts),
         jnp.asarray(pi), jnp.asarray(np.stack(apow_rows)), block=512))
     np.testing.assert_array_equal(got, np.stack(expected))
+
+
+@requires_tpu
+def test_ratios_pallas_matches_xla_on_device():
+    """Compiled ops/perm_kernel.py vs the XLA permutation-ratio path, on
+    hardware (bit-identical incl. the Montgomery-batched inverse)."""
+    import jax.numpy as jnp
+    from plonky2_merkle_trees_tpu import field
+    from plonky2_merkle_trees_tpu.ops.perm_kernel import ratios_pallas, CHUNK
+
+    n, r_wires, nc = 4096, 80, 2
+    num_chunks = r_wires // CHUNK
+    rng = np.random.default_rng(83)
+    routed = rng.integers(0, field.P, size=(r_wires, n), dtype=np.uint64)
+    tags = rng.integers(0, field.P, size=(r_wires, n), dtype=np.uint64)
+    sigmas = rng.integers(0, field.P, size=(r_wires, n), dtype=np.uint64)
+    betas = rng.integers(0, field.P, size=nc, dtype=np.uint64)
+    gammas = rng.integers(0, field.P, size=nc, dtype=np.uint64)
+
+    with np.errstate(over="ignore"):
+        f_stack, g_stack = [], []
+        for c in range(nc):
+            f = field.add(routed, field.add(field.mul(tags, betas[c]),
+                                            gammas[c]))
+            g = field.add(routed, field.add(field.mul(sigmas, betas[c]),
+                                            gammas[c]))
+            f_stack.append(f.reshape(num_chunks, CHUNK, n))
+            g_stack.append(g.reshape(num_chunks, CHUNK, n))
+        fp, gp = np.stack(f_stack), np.stack(g_stack)
+        while fp.shape[2] > 1:
+            half = fp.shape[2] // 2
+            fp = field.mul(fp[:, :, :half], fp[:, :, half:])
+            gp = field.mul(gp[:, :, :half], gp[:, :, half:])
+        expected = field.mul(fp[:, :, 0], field.inv_vec(gp[:, :, 0]))
+
+    got = np.asarray(ratios_pallas(
+        jnp.asarray(routed), jnp.asarray(tags), jnp.asarray(sigmas),
+        jnp.asarray(betas), jnp.asarray(gammas)))
+    np.testing.assert_array_equal(got, expected)

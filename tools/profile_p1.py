@@ -122,6 +122,26 @@ def main():
     timeit("F  associative scan 2^15", scan_fn, ratios[0, 0],
            fetch=lambda o: o[:4])
 
+    # E' fused Pallas ratios kernel (ops/perm_kernel.py) — live prover path
+    if jax.default_backend() == "tpu":
+        from plonky2_merkle_trees_tpu.ops.perm_kernel import ratios_pallas
+        betas = jnp.asarray(np.array([7, 8], dtype=np.uint64))
+        gammas = jnp.asarray(np.array([11, 12], dtype=np.uint64))
+        kfn = jax.jit(ratios_pallas)
+        timeit("E' ratios_pallas kernel", kfn, wires[:R_WIRES], tags,
+               sigmas, betas, gammas, fetch=lambda o: o[0, 0, :4])
+
+        # D' fused column-hash leaf kernel (no transpose, lazy reduction)
+        from plonky2_merkle_trees_tpu.ops.poseidon_pallas import (
+            hash_columns_pallas)
+        hfn = jax.jit(hash_columns_pallas)
+        timeit("D' hash_columns_pallas (135 x 2^18)", hfn, lde,
+               fetch=lambda o: o[0, :4], iters=3)
+        from plonky2_merkle_trees_tpu.plonk.device import _merkle_levels_cols
+        tfn = jax.jit(lambda v: _merkle_levels_cols(v, CAP_HEIGHT))
+        timeit("D'' merkle levels via column kernel", tfn, lde,
+               fetch=lambda o: o[-1], iters=3)
+
     # A  wire gather
     V = jnp.asarray(rng.integers(0, field.P, size=(1 << 18,),
                                  dtype=np.uint64))
