@@ -132,3 +132,25 @@ def base_to_ext(a):
     """(...,) base-field array -> (..., 2) extension array."""
     xp = field._xp(a)
     return xp.stack([a, xp.zeros_like(a)], axis=-1)
+
+
+def ext_inv_vec(a):
+    """(..., 2) vectorised extension inverse: conj(a) / (a0^2 - W*a1^2)
+    (the norm map to the base field; inverse is value-unique, so any
+    implementation is bit-compatible).  Zero maps to zero."""
+    xp = field._xp(a)
+    a0, a1 = a[..., 0], a[..., 1]
+    norm = field.sub(field.mul(a0, a0), field.mul_small(field.mul(a1, a1), W))
+    ninv = field.inv_vec(norm)
+    return xp.stack([field.mul(a0, ninv), field.mul(field.neg(a1), ninv)],
+                    axis=-1)
+
+
+def ext_powers_host(base: ExtensionField, count: int) -> np.ndarray:
+    """(count, 2) numpy array [1, base, base^2, ...] (host scalar chain)."""
+    out = np.empty((count, 2), dtype=np.uint64)
+    cur = ExtensionField(1)
+    for i in range(count):
+        out[i] = (cur.a0, cur.a1)
+        cur = cur * base
+    return out

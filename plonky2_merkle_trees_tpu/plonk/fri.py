@@ -443,69 +443,92 @@ def fri_verify(proof: FriProof, compute_initial_eval, oracle_caps,
     if len(proof.query_rounds) != fri_config.num_query_rounds:
         return False
 
-    for qr in proof.query_rounds:
-        index = challenger.get_challenge() % m
-        if index != qr.index:
+    # ---- batched query phase: every check below is the exact vectorised
+    # twin of the per-query scalar walk (same integer mod-p arithmetic,
+    # same accept/reject conditions), evaluated for all n_q queries at
+    # once — batched native sponge for the Merkle paths, (n_q, 2) numpy
+    # extension arithmetic for the folds.  Malformed (ragged) proof
+    # components surface as ValueError/IndexError, which the caller maps
+    # to rejection, exactly like the scalar walk's out-of-range indexing.
+    from .field_ext import ext_mul, ext_sub
+    n_q = len(proof.query_rounds)
+    indices = np.asarray([challenger.get_challenge() % m for _ in
+                          range(n_q)], dtype=np.int64)
+    if any(int(i) != qr.index for i, qr in zip(indices, proof.query_rounds)):
+        return False
+
+    # initial oracle openings, one batched verify per oracle tree
+    for oi, cap in enumerate(oracle_caps):
+        leaves = np.asarray([[int(v) for v in qr.initial.leaf_values[oi]]
+                             for qr in proof.query_rounds], dtype=np.uint64)
+        paths = [qr.initial.paths[oi] for qr in proof.query_rounds]
+        if not MerkleCommitment.verify_batch(leaves, indices, paths, cap):
             return False
-        # initial oracle openings
-        for leaf, path, cap in zip(qr.initial.leaf_values, qr.initial.paths,
-                                   oracle_caps):
-            if not MerkleCommitment.verify(leaf, index, path, cap):
-                return False
-        value = compute_initial_eval(index, qr.initial)
+    values = compute_initial_eval(indices, proof.query_rounds)  # (n_q, 2)
 
-        idx = index
-        cur_log = lde_bits
-        cur_shift = shift
-        for step, a_bits, beta, tree_cap in zip(qr.steps, arities, betas,
-                                                proof.commit_caps):
-            m_layer = 1 << cur_log
-            m_next = m_layer >> a_bits
-            row = idx % m_next
-            pos = idx // m_next
-            coset = np.asarray(step.coset_values, dtype=np.uint64)
-            if coset.shape != (1 << a_bits, 2):
-                return False
-            # the queried value must sit inside the opened coset
-            if (int(coset[pos, 0]), int(coset[pos, 1])) != (value.a0, value.a1):
-                return False
-            if not MerkleCommitment.verify(coset.reshape(-1), row, step.path,
-                                           tree_cap):
-                return False
-            # fold the coset down to one value with beta, beta^2, beta^4, ...
-            # vals[t] sits at domain index row + t*m_next, i.e. at point
-            # x_t = shift * omega^(row + t*m_next); binary fold pairs
-            # (t, t + size/2) and squares the points.
-            w = field.primitive_root_of_unity(cur_log)
-            vals = [ExtensionField(int(a), int(b)) for a, b in coset]
-            xs = [cur_shift * pow(w, row + t * m_next, P) % P
-                  for t in range(1 << a_bits)]
-            half_inv = field.h_inverse(2)
-            cur_b = beta
-            size = 1 << a_bits
-            while size > 1:
-                nxt_vals, nxt_xs = [], []
-                for t in range(size // 2):
-                    a_v, b_v = vals[t], vals[t + size // 2]
-                    e = (a_v + b_v) * half_inv
-                    o = (a_v - b_v) * cur_b * field.h_inverse(2 * xs[t] % P)
-                    nxt_vals.append(e + o)
-                    nxt_xs.append(xs[t] * xs[t] % P)
-                vals, xs = nxt_vals, nxt_xs
-                size //= 2
-                cur_b = cur_b * cur_b
-            value = vals[0]
-            idx = row
-            for _ in range(a_bits):
-                cur_shift = cur_shift * cur_shift % P
-                cur_log -= 1
-
-        # final polynomial evaluation at the surviving point
+    idx = indices.copy()
+    cur_log = lde_bits
+    cur_shift = shift
+    for li, (a_bits, beta, tree_cap) in enumerate(
+            zip(arities, betas, proof.commit_caps)):
+        m_next = (1 << cur_log) >> a_bits
+        rows = idx % m_next
+        pos = idx // m_next
+        coset = np.asarray([qr.steps[li].coset_values
+                            for qr in proof.query_rounds], dtype=np.uint64)
+        if coset.shape != (n_q, 1 << a_bits, 2):
+            return False
+        # the queried value must sit inside the opened coset
+        if not np.array_equal(coset[np.arange(n_q), pos], values):
+            return False
+        if not MerkleCommitment.verify_batch(
+                coset.reshape(n_q, -1), rows,
+                [qr.steps[li].path for qr in proof.query_rounds], tree_cap):
+            return False
+        # fold each coset down with beta, beta^2, ...: vals[:, t] sits at
+        # x_t = shift * omega^(row + t*m_next); binary fold pairs
+        # (t, t + size/2) and squares the points.
         w = field.primitive_root_of_unity(cur_log)
-        x = cur_shift * pow(w, idx, P) % P
-        acc = ExtensionField(0)
-        for coeff in reversed(proof.final_poly):
-            acc = acc * x + coeff
-        if acc != value:
-            return False
-    return True
+        vals = coset                                   # (n_q, size, 2)
+        wm = pow(w, m_next, P)
+        x0 = np.asarray([cur_shift * pow(w, int(r), P) % P for r in rows],
+                        dtype=np.uint64)
+        xs = np.stack([field.mul(x0, np.uint64(pow(wm, t, P)))
+                       for t in range(1 << a_bits)], axis=1)  # (n_q, size)
+        half_inv = np.uint64(field.h_inverse(2))
+        cur_b = np.array([beta.a0, beta.a1], dtype=np.uint64)
+        size = 1 << a_bits
+        while size > 1:
+            h = size // 2
+            a_v, b_v = vals[:, :h], vals[:, h:size]
+            e = ext_mul(field.add(a_v, b_v),
+                        np.broadcast_to(
+                            np.array([half_inv, 0], dtype=np.uint64),
+                            a_v.shape))
+            two_x_inv = field.inv_vec(field.mul_small(xs[:, :h], 2))
+            o = ext_mul(ext_mul(ext_sub(a_v, b_v),
+                                np.broadcast_to(cur_b, a_v.shape)),
+                        np.stack([two_x_inv, np.zeros_like(two_x_inv)],
+                                 axis=-1))
+            vals = field.add(e, o)
+            xs = field.mul(xs[:, :h], xs[:, :h])
+            size = h
+            cur_b = ext_mul(cur_b[None, :], cur_b[None, :])[0]
+        values = vals[:, 0]
+        idx = rows
+        for _ in range(a_bits):
+            cur_shift = cur_shift * cur_shift % P
+            cur_log -= 1
+
+    # final polynomial evaluation at the surviving points (batched Horner)
+    w = field.primitive_root_of_unity(cur_log)
+    x = np.asarray([cur_shift * pow(w, int(i), P) % P for i in idx],
+                   dtype=np.uint64)
+    x_ext = np.stack([x, np.zeros_like(x)], axis=-1)
+    acc = np.zeros((n_q, 2), dtype=np.uint64)
+    for coeff in reversed(proof.final_poly):
+        acc = field.add(ext_mul(acc, x_ext),
+                        np.broadcast_to(
+                            np.array([coeff.a0, coeff.a1], dtype=np.uint64),
+                            acc.shape))
+    return bool(np.array_equal(acc, values))

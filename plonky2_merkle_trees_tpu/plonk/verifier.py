@@ -97,27 +97,67 @@ def verify(circuit_data, pwpi: ProofWithPublicInputs) -> bool:
                   nc * num_chunks, nc * (1 << fri_cfg.rate_bits)]
     oracle_sizes = [real_sizes[0]] + [s + zk_salt for s in real_sizes[1:]]
 
-    def compute_initial_eval(index: int, initial) -> ExtensionField:
-        if len(initial.leaf_values) != 4:
-            raise ValueError("bad oracle count")
-        for lv, size in zip(initial.leaf_values, oracle_sizes):
-            if len(lv) != size:
-                raise ValueError("bad oracle leaf size")
-        x = ExtensionField(lde_shift * pow(lde_omega, index, P) % P)
+    def compute_initial_eval(indices, query_rounds) -> np.ndarray:
+        """Batched recombination F(x_index) for ALL query rounds at once:
+        (n_q, 2) numpy extension arithmetic — the exact vectorised twin of
+        the per-query Horner walk (sum_j alpha^j (v_j - y_j), grouped
+        pairwise: mod-p addition is associative)."""
+        from .field_ext import (base_to_ext, ext_inv_vec, ext_mul,
+                                ext_powers_host, ext_sub)
+        for qr in query_rounds:
+            if len(qr.initial.leaf_values) != 4:
+                raise ValueError("bad oracle count")
+            for lv, size in zip(qr.initial.leaf_values, oracle_sizes):
+                if len(lv) != size:
+                    raise ValueError("bad oracle leaf size")
+        n_q = len(query_rounds)
+        x = np.asarray([lde_shift * pow(lde_omega, int(i), P) % P
+                        for i in indices], dtype=np.uint64)
         # recombine only the real polynomial values (salt is hashed into the
         # leaf for the Merkle check but is not part of any polynomial)
-        values = [int(v) for lv, rs in zip(initial.leaf_values, real_sizes)
-                  for v in lv[:rs]]
-        acc1 = ExtensionField(0)
-        for v, y in zip(reversed(values), reversed(ys1)):
-            acc1 = acc1 * fri_alpha + (ExtensionField(v) - y)
-        result = acc1 / (x - zeta)
-        zs_leaf = initial.leaf_values[2][:nc]
-        acc2 = ExtensionField(0)
-        for v, y in zip(reversed([int(v) for v in zs_leaf]),
-                        reversed(op.zs_next)):
-            acc2 = acc2 * fri_alpha + (ExtensionField(v) - y)
-        result = result + (fri_alpha ** n1) * (acc2 / (x - zeta_next))
+        vals = np.asarray(
+            [[int(v) for lv, rs in zip(qr.initial.leaf_values, real_sizes)
+              for v in lv[:rs]] for qr in query_rounds],
+            dtype=np.uint64)                               # (n_q, n1)
+        ys = np.asarray([(y.a0, y.a1) for y in ys1],
+                        dtype=np.uint64)                   # (n1, 2)
+        apow = ext_powers_host(fri_alpha, n1 + 1)          # (n1+1, 2)
+        diff0 = field.sub(vals, ys[None, :, 0])
+        diff = np.stack(
+            [diff0, np.broadcast_to(field.neg(ys[:, 1]), diff0.shape)],
+            axis=-1)                                       # (n_q, n1, 2)
+        terms = ext_mul(np.broadcast_to(apow[None, :n1], diff.shape), diff)
+        while terms.shape[1] > 1:                          # pairwise mod-p sum
+            h = terms.shape[1] // 2
+            head = field.add(terms[:, :h], terms[:, h:2 * h])
+            if terms.shape[1] % 2:
+                head = np.concatenate([head, terms[:, 2 * h:]], axis=1)
+            terms = head
+        acc1 = terms[:, 0]                                 # (n_q, 2)
+        zeta_arr = np.array([zeta.a0, zeta.a1], dtype=np.uint64)
+        zeta_next_arr = np.array([zeta_next.a0, zeta_next.a1],
+                                 dtype=np.uint64)
+        result = ext_mul(acc1, ext_inv_vec(
+            ext_sub(base_to_ext(x), zeta_arr[None, :])))
+        zs_off = real_sizes[0] + real_sizes[1]
+        zs_leaf = vals[:, zs_off:zs_off + nc]              # (n_q, nc)
+        yzn = np.asarray([(y.a0, y.a1) for y in op.zs_next],
+                         dtype=np.uint64)                  # (nc, 2)
+        d0 = field.sub(zs_leaf, yzn[None, :, 0])
+        d = np.stack([d0, np.broadcast_to(field.neg(yzn[:, 1]), d0.shape)],
+                     axis=-1)
+        t2 = ext_mul(np.broadcast_to(apow[None, :nc], d.shape), d)
+        while t2.shape[1] > 1:
+            h = t2.shape[1] // 2
+            head = field.add(t2[:, :h], t2[:, h:2 * h])
+            if t2.shape[1] % 2:
+                head = np.concatenate([head, t2[:, 2 * h:]], axis=1)
+            t2 = head
+        acc2 = t2[:, 0]
+        term2 = ext_mul(acc2, ext_inv_vec(
+            ext_sub(base_to_ext(x), zeta_next_arr[None, :])))
+        result = field.add(result, ext_mul(
+            np.broadcast_to(apow[n1], term2.shape), term2))
         return result
 
     oracle_caps = [vo.constants_sigmas_cap, proof.wires_cap,
