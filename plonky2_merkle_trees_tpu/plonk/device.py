@@ -26,6 +26,14 @@ PMT_PROVER_MONO=0 selects the older per-stage pipeline (one program and
 one host challenger sync per protocol stage) — kept as a fallback and for
 A/B testing.
 
+Program granularity (PMT_PROVER_MERGE): on a single TPU device the whole
+prove — P1+P2+P3 and the fused PoW/query tail — runs as ONE XLA program
+(_stage_mono_all; "all", the auto default): executable LOAD through the
+axon tunnel costs ~40 s per program per process even on compile-cache
+hits, so one program per prove shape instead of three cuts fresh-process
+startup by ~80 s per shape.  "1" = P1+P2 merged, "0" = the three-program
+pipeline (always used on a mesh).
+
 Every jitted program is cached per (shapes, static params) by jax.jit;
 the package-level persistent compilation cache makes the first process pay
 the XLA compile at most once per circuit shape.
@@ -159,7 +167,14 @@ def _merkle_levels(leaves_matrix, cap_height: int, c=None):
 
 def _leafhash_kernel_on() -> bool:
     """Fused column-hash kernel dispatch: TPU backend by default;
-    PMT_LEAFHASH_KERNEL=1 forces (interpret off-TPU), =0 disables."""
+    PMT_LEAFHASH_KERNEL=1 forces (interpret off-TPU), =0 disables.
+
+    NOTE: like the other PMT_*_KERNEL flags this is read at TRACE time
+    inside the lru-cached jitted stages (_stage_batch/_stage_wires/...), so
+    toggling the env var after a stage has compiled in the same process has
+    no effect.  Set it before the first prove (tests that need both paths
+    in one process must use distinct stage cache keys, as _stage_mono_fri
+    does for ``tail``, or clear the stage caches)."""
     import jax
     flag = os.environ.get("PMT_LEAFHASH_KERNEL", "auto")
     if flag == "0":
@@ -1165,6 +1180,48 @@ def _stage_mono_commit_quotient(num_sel: int, r_wires: int, num_wires: int,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _stage_mono_all(num_sel: int, r_wires: int, num_wires: int, nc: int,
+                    k_is: tuple, degree_bits: int, rate_bits: int,
+                    cap_height: int, arities: tuple, final_len: int,
+                    tail: tuple, mesh=None):
+    """The WHOLE prove — P1 commit + P2 quotient + P3 FRI (and, with
+    ``tail``, the PoW grind + query gathers) — as ONE XLA program
+    (PMT_PROVER_MERGE=all, the default on a single TPU device).
+
+    jit-of-jit inlines all three stage bodies, so transcripts are
+    identical to the three-program pipeline by construction.  The win is
+    per-process startup through the axon tunnel: executable LOAD costs
+    ~40 s per program regardless of warm compilation caches, so one
+    program per prove shape instead of three cuts a fresh serving
+    process's first prove by ~80 s per circuit shape."""
+    import jax
+    p1 = _stage_mono_commit(r_wires, num_wires, nc, degree_bits, rate_bits,
+                            cap_height, mesh=mesh)
+    p2 = _stage_mono_quotient(num_sel, r_wires, num_wires, nc, k_is,
+                              degree_bits, rate_bits, cap_height, mesh=mesh)
+    p3 = _stage_mono_fri(nc, degree_bits, rate_bits, cap_height, arities,
+                         final_len, mesh=mesh, tail=tail)
+
+    def fn(V, K, wm_plan, sigmas, tags, circuit_digest, pi_hash,
+           cs_coeffs, cs_lde, xs, cs_levels):
+        (st1, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde, z_levels,
+         w_cap, z_cap, closure) = p1(V, K, wm_plan, sigmas, tags,
+                                     circuit_digest, pi_hash)
+        (st2, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap, evs) = p2(
+            st1, chal, cs_coeffs, cs_lde, w_coeffs, w_lde, z_coeffs, z_lde,
+            xs, pi_hash)
+        out3 = p3(st2, cs_lde, w_lde, z_lde, q_lde, evs, zeta, zeta_next,
+                  fri_alpha, xs,
+                  oracle_levels=None if tail is None else
+                  [list(cs_levels), list(w_levels), list(z_levels),
+                   list(q_levels)])
+        return (out3, q_lde, q_levels, q_cap, evs, w_lde, w_levels,
+                z_lde, z_levels, w_cap, z_cap, closure)
+
+    return jax.jit(fn)
+
+
 class _QueryOracle:
     """Minimal oracle view for gather_query_rounds: LDE rows + tree."""
 
@@ -1197,8 +1254,9 @@ def prove_device_mono(circuit_data, pw, mesh=None) -> ProofWithPublicInputs:
     XLA inserts the collectives.  Transcripts remain byte-identical —
     modular arithmetic is exact, partitioning only reorders placement.
 
-    PMT_PROVER_MERGE=1 runs P1+P2 as one merged program (two dispatches
-    total instead of three)."""
+    PMT_PROVER_MERGE selects program granularity: "all" (single-device
+    default) = the whole prove as ONE program, "1" = P1+P2 merged, "0" =
+    three programs (see the module docstring)."""
     return _mono_finish(_mono_dispatch(circuit_data, pw, mesh=mesh))
 
 
@@ -1336,7 +1394,50 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
 
     _tp("setup")
     _sync = _trace and os.environ.get("PMT_DEVICE_TRACE_SYNC") == "1"
-    if os.environ.get("PMT_PROVER_MERGE") == "1":
+
+    # fused tail (PoW grind + query gathers inside P3): single-device only —
+    # saves two executable launches + tunnel round trips per prove.
+    # Default: TPU backend (the 2^17-batch grind is slow on the CPU mesh);
+    # PMT_FUSED_TAIL=1 forces (CPU parity test), =0 disables.
+    import jax
+    _ft_flag = os.environ.get("PMT_FUSED_TAIL", "auto")
+    fused_tail = (mesh is None and _ft_flag != "0"
+                  and (_ft_flag == "1" or jax.default_backend() == "tpu"))
+    tail = ((fri_cfg.proof_of_work_bits, fri_cfg.num_query_rounds)
+            if fused_tail else None)
+
+    # program granularity: "all" = ONE program (default on a single TPU
+    # device: executable load through the tunnel is ~40 s/program, so one
+    # load per shape instead of three), "1" = P1+P2 merged, "0" = the
+    # three-program pipeline (always used on a mesh: the SPMD stages keep
+    # their per-phase sharding constraints).
+    merge = os.environ.get("PMT_PROVER_MERGE", "auto")
+    if merge in ("auto", "all"):
+        want_all = merge == "all" or (mesh is None
+                                      and jax.default_backend() == "tpu")
+        merge = "all" if (want_all and mesh is None) else "0"
+
+    if merge == "all":
+        p_all = _stage_mono_all(
+            num_sel, r_wires, config.num_wires, nc, tuple(common.k_is),
+            common.degree_bits, rate_bits, cap_height, arities, final_len,
+            tail, mesh=mesh)
+        (out3, q_lde, q_levels, q_cap, evs, w_lde, w_levels, z_lde,
+         z_levels, w_cap, z_cap, closure) = p_all(
+            put(w.V), put(w.K), dev_cache["wmp"],
+            dev_cache["sigmas"], dev_cache["tags"],
+            put(vo.circuit_digest), put(pi_hash),
+            cs_coeffs_dev, cs_lde_dev, dev_cache["xs"],
+            list(cs_dev.tree.levels))
+        if fused_tail:
+            (layer_values, fri_levels, final_c0, final_c1, pow_nonce,
+             q_idx, q_flat) = out3
+        else:
+            layer_values, fri_levels, final_c0, final_c1 = out3
+        if _sync:
+            np.asarray(final_c0)
+            _tp("P1+P2+P3 merged (blocked)")
+    elif merge == "1":
         p12 = _stage_mono_commit_quotient(
             num_sel, r_wires, config.num_wires, nc, tuple(common.k_is),
             common.degree_bits, rate_bits, cap_height, mesh=mesh)
@@ -1372,32 +1473,23 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
         if _sync:
             np.asarray(st2)
             _tp("P2 (blocked)")
-    # fused tail (PoW grind + query gathers inside P3): single-device only —
-    # saves two executable launches + tunnel round trips per prove.
-    # Default: TPU backend (the 2^17-batch grind is slow on the CPU mesh);
-    # PMT_FUSED_TAIL=1 forces (CPU parity test), =0 disables.
-    import jax
-    _ft_flag = os.environ.get("PMT_FUSED_TAIL", "auto")
-    fused_tail = (mesh is None and _ft_flag != "0"
-                  and (_ft_flag == "1" or jax.default_backend() == "tpu"))
-    tail = ((fri_cfg.proof_of_work_bits, fri_cfg.num_query_rounds)
-            if fused_tail else None)
-    p3 = _stage_mono_fri(nc, common.degree_bits, rate_bits, cap_height,
-                         arities, final_len, mesh=mesh, tail=tail)
-    if fused_tail:
-        (layer_values, fri_levels, final_c0, final_c1, pow_nonce, q_idx,
-         q_flat) = p3(
-            st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
-            zeta, zeta_next, fri_alpha, dev_cache["xs"],
-            oracle_levels=[list(cs_dev.tree.levels), list(w_levels),
-                           list(z_levels), list(q_levels)])
-    else:
-        layer_values, fri_levels, final_c0, final_c1 = p3(
-            st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
-            zeta, zeta_next, fri_alpha, dev_cache["xs"])
-    if _sync:
-        np.asarray(final_c0)
-        _tp("P3 (blocked)")
+    if merge != "all":
+        p3 = _stage_mono_fri(nc, common.degree_bits, rate_bits, cap_height,
+                             arities, final_len, mesh=mesh, tail=tail)
+        if fused_tail:
+            (layer_values, fri_levels, final_c0, final_c1, pow_nonce, q_idx,
+             q_flat) = p3(
+                st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
+                zeta, zeta_next, fri_alpha, dev_cache["xs"],
+                oracle_levels=[list(cs_dev.tree.levels), list(w_levels),
+                               list(z_levels), list(q_levels)])
+        else:
+            layer_values, fri_levels, final_c0, final_c1 = p3(
+                st2, cs_lde_dev, w_lde, z_lde, q_lde, evs,
+                zeta, zeta_next, fri_alpha, dev_cache["xs"])
+        if _sync:
+            np.asarray(final_c0)
+            _tp("P3 (blocked)")
     _tp("dispatch p1-p3")
 
     pieces = {"w_cap": w_cap, "z_cap": z_cap, "q_cap": q_cap,
@@ -1503,14 +1595,22 @@ def _mono_finish(pending: _PendingProof) -> ProofWithPublicInputs:
     _tp("parse + replay")
     if "pow_witness" in parsed:
         # fused tail: the grind ran inside P3 — validate against the host
-        # transcript replay (same check_pow the separate grind asserts)
+        # transcript replay.  A RuntimeError (not assert: survives -O) so a
+        # device/host divergence OR an exhausted in-P3 grind (which returns
+        # nonce 0, probability ~e^-4096) is a loud failure, never a silently
+        # malformed proof.
         pow_witness = int(parsed["pow_witness"][0])
-        assert check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits), \
-            "device PoW witness rejected by the host transcript replay"
+        if not check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits):
+            raise RuntimeError(
+                "device PoW witness rejected by the host transcript replay "
+                "(device/host transcript divergence, or the in-P3 grind "
+                "exhausted its nonce budget)")
     else:
         pow_witness = _find_pow_witness_device(ch,
                                                fri_cfg.proof_of_work_bits)
-        assert check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits)
+        if not check_pow(ch, pow_witness, fri_cfg.proof_of_work_bits):
+            raise RuntimeError(
+                "device PoW witness rejected by the host transcript replay")
     _tp("pow grind")
 
     n_q = fri_cfg.num_query_rounds
@@ -1528,10 +1628,12 @@ def _mono_finish(pending: _PendingProof) -> ProofWithPublicInputs:
         trees.append(MerkleCommitment.from_levels(fri_levels[li], eff))
         cur_log -= a_bits
     if "query_flat" in parsed:
-        # fused tail: gathers already rode the blob — slice and assemble
-        assert np.array_equal(
-            np.asarray(indices, dtype=np.uint64), parsed["query_idx"]), \
-            "device/host query-index divergence (transcript mismatch)"
+        # fused tail: gathers already rode the blob — slice and assemble.
+        # RuntimeError (not assert) so the determinism guard survives -O.
+        if not np.array_equal(np.asarray(indices, dtype=np.uint64),
+                              parsed["query_idx"]):
+            raise RuntimeError(
+                "device/host query-index divergence (transcript mismatch)")
         shapes = []
         for o in oracles:
             shapes.append((n_q, int(o.lde_values.shape[0])))
@@ -1850,7 +1952,9 @@ def _fri_prove_device(f_vals, oracles, challenger: Challenger, fri_config,
 
     pow_witness = _find_pow_witness_device(challenger,
                                            fri_config.proof_of_work_bits)
-    assert check_pow(challenger, pow_witness, fri_config.proof_of_work_bits)
+    if not check_pow(challenger, pow_witness, fri_config.proof_of_work_bits):
+        raise RuntimeError(
+            "device PoW witness rejected by the host transcript replay")
 
     # queries: shared single-transfer gather (fri.gather_query_rounds)
     n_q = fri_config.num_query_rounds

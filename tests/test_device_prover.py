@@ -166,6 +166,19 @@ def test_prove_merged_program_transcript_parity(merkle_case, monkeypatch):
     assert _proof_bytes(p_np) == _proof_bytes(p_dev)
 
 
+def test_prove_merged_all_transcript_parity(merkle_case, monkeypatch):
+    """PMT_PROVER_MERGE=all (the WHOLE prove — P1+P2+P3 and the fused
+    PoW/query tail — as ONE XLA program, the single-TPU default) changes
+    the executable count, not one byte of the transcript."""
+    monkeypatch.setenv("PMT_PROVER_MERGE", "all")
+    monkeypatch.setenv("PMT_FUSED_TAIL", "1")
+    data, pw = merkle_case
+    p_np = host_prover.prove(data, pw)
+    p_dev = dev_prover.prove_device(data, pw)
+    data.verify(p_dev)
+    assert _proof_bytes(p_np) == _proof_bytes(p_dev)
+
+
 def test_device_prover_fused_tail_parity(merkle_case, monkeypatch):
     """PMT_FUSED_TAIL=1: the in-P3 PoW grind + query gather (device.py
     _stage_mono_fri tail / DeviceChallenger.grind_and_indices) stays
