@@ -155,10 +155,13 @@ def _source_key() -> str:
 
 
 def _artifact_dir() -> str:
+    # In-repo (committed) rather than ~/.cache: HOME is wiped between
+    # rounds, the repo persists, and the driver's fresh process must find
+    # the checkpointed flagship inputs.
     base = os.environ.get(
         "PMT_BENCH_ARTIFACT_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "plonky2_merkle_trees_tpu", "bench_artifacts"))
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_artifacts"))
     return os.path.join(base, _source_key())
 
 

@@ -23,10 +23,25 @@ jax.config.update("jax_enable_x64", True)
 # JAX persistent cache cuts warm-process startup several-fold (measured:
 # first Pallas permute call 163s cold -> 45s with a warm cache).  Opt out
 # with PMT_JAX_CACHE_DIR=0.
-_cache_dir = os.environ.get(
-    "PMT_JAX_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "plonky2_merkle_trees_tpu",
-                 "jax_cache"))
+#
+# The cache lives IN THE REPO (.jax_cache/<backend>/), not under ~/.cache:
+# HOME is wiped between rounds on this infrastructure while the repo
+# persists via git, so a committed cache is the only way a fresh process on
+# a fresh machine (e.g. the driver's benchmark run) starts warm.  Entries
+# are keyed per backend so the CPU test suite's entries don't churn the
+# committed TPU set.
+
+
+def _default_cache_dir() -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        backend = jax.default_backend()  # forces backend init; cheap vs TPU compiles
+    except Exception:
+        backend = "unknown"
+    return os.path.join(repo_root, ".jax_cache", backend)
+
+
+_cache_dir = os.environ.get("PMT_JAX_CACHE_DIR") or _default_cache_dir()
 if _cache_dir and _cache_dir != "0":
     try:
         os.makedirs(_cache_dir, exist_ok=True)

@@ -130,11 +130,17 @@ def commit_scaling_report(log_n: int = 12, polys_per_device: int = 16,
     return _finalize(rows, "commits_per_sec")
 
 
+def _kw_for(fn, kw):
+    import inspect
+    allowed = set(inspect.signature(fn).parameters)
+    return {k: v for k, v in kw.items() if k in allowed}
+
+
 def full_report(**kw) -> List[dict]:
-    """All stages, concatenated (the north-star scaling table)."""
-    return (scaling_report(**{k: v for k, v in kw.items()
-                              if k in ("device_counts", "iters")})
-            + ntt_scaling_report(**{k: v for k, v in kw.items()
-                                    if k in ("device_counts", "iters")})
-            + commit_scaling_report(**{k: v for k, v in kw.items()
-                                       if k in ("device_counts", "iters")}))
+    """All stages, concatenated (the north-star scaling table).  Size
+    kwargs (log_leaves_per_device / log_n / polys_per_device / ...) are
+    forwarded to whichever stage accepts them, so callers can shrink the
+    run for CI/dryrun budgets."""
+    return (scaling_report(**_kw_for(scaling_report, kw))
+            + ntt_scaling_report(**_kw_for(ntt_scaling_report, kw))
+            + commit_scaling_report(**_kw_for(commit_scaling_report, kw)))

@@ -1563,10 +1563,9 @@ def _mono_finish(pending: _PendingProof) -> ProofWithPublicInputs:
         quotient=to_ext(parsed["q_ev"]),
         zs_next=to_ext(parsed["zs_next_ev"]),
     )
-    assert all(int(v) == 0 for v in parsed["final_c0"][final_len:]), \
-        "final poly degree too high"
-    assert all(int(v) == 0 for v in parsed["final_c1"][final_len:]), \
-        "final poly degree too high"
+    if not all(int(v) == 0 for v in parsed["final_c0"][final_len:]) or \
+            not all(int(v) == 0 for v in parsed["final_c1"][final_len:]):
+        raise RuntimeError("final poly degree too high")  # survives -O
     final_poly = [ExtensionField(int(a), int(b))
                   for a, b in zip(parsed["final_c0"][:final_len],
                                   parsed["final_c1"][:final_len])]
@@ -1831,7 +1830,9 @@ def prove_device_staged(circuit_data, pw, _witness=None) -> ProofWithPublicInput
         for c in range(nc):
             z_rows[c] = field.prefix_prod_exclusive(ratio_all_np[c])
             closure = int(field.mul(z_rows[c, -1], ratio_all_np[c, -1]))
-            assert closure == 1, "permutation product does not close"
+            if closure != 1:  # loud even under -O: a silent miss here would
+                # emit a proof the verifier rejects with no cause attached
+                raise RuntimeError("permutation product does not close")
     z_coeffs, z_lde, z_levels = _stage_zsp(num_chunks, rate_bits, cap_height)(
         jnp.asarray(z_rows), ratios)
     zsp_batch = DeviceBatch(z_coeffs, z_lde, z_levels, cap_height)
@@ -1943,8 +1944,9 @@ def _fri_prove_device(f_vals, oracles, challenger: Challenger, fri_config,
     c0 = nttmod.coset_intt(final_vals[:, 0], shift=cur_shift)
     c1 = nttmod.coset_intt(final_vals[:, 1], shift=cur_shift)
     final_len = min(len(c0), 1 << fri_config.final_poly_max_degree_bits)
-    assert all(int(v) == 0 for v in c0[final_len:]), "final poly degree too high"
-    assert all(int(v) == 0 for v in c1[final_len:]), "final poly degree too high"
+    if not all(int(v) == 0 for v in c0[final_len:]) or \
+            not all(int(v) == 0 for v in c1[final_len:]):
+        raise RuntimeError("final poly degree too high")  # survives -O
     final_poly = [ExtensionField(int(a), int(b))
                   for a, b in zip(c0[:final_len], c1[:final_len])]
     for coeff in final_poly:

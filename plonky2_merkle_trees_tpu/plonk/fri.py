@@ -394,8 +394,9 @@ def fri_prove(lde_ext_values: np.ndarray, oracles, challenger: Challenger,
     c0 = nttmod.coset_intt(current[:, 0], shift=cur_shift)
     c1 = nttmod.coset_intt(current[:, 1], shift=cur_shift)
     final_len = min(len(c0), 1 << fri_config.final_poly_max_degree_bits)
-    assert all(int(v) == 0 for v in c0[final_len:]), "final poly degree too high"
-    assert all(int(v) == 0 for v in c1[final_len:]), "final poly degree too high"
+    if not all(int(v) == 0 for v in c0[final_len:]) or \
+            not all(int(v) == 0 for v in c1[final_len:]):
+        raise RuntimeError("final poly degree too high")  # survives -O
     final_poly = [ExtensionField(int(a), int(b))
                   for a, b in zip(c0[:final_len], c1[:final_len])]
     for coeff in final_poly:
@@ -403,7 +404,8 @@ def fri_prove(lde_ext_values: np.ndarray, oracles, challenger: Challenger,
 
     # grinding
     pow_witness = find_pow_witness(challenger, fri_config.proof_of_work_bits)
-    assert check_pow(challenger, pow_witness, fri_config.proof_of_work_bits)
+    if not check_pow(challenger, pow_witness, fri_config.proof_of_work_bits):
+        raise RuntimeError("proof-of-work grind failed")  # survives -O
 
     # queries — indices drawn first, then every oracle/tree/layer gathered in
     # one batched transfer (gather_query_rounds)

@@ -356,7 +356,8 @@ def prove(circuit_data, pw) -> ProofWithPublicInputs:
             ratio_all = field.mul(ratio_all, rr)
         z = field.prefix_prod_exclusive(ratio_all)
         closure = int(field.mul(z[-1], ratio_all[-1]))
-        assert closure == 1, "permutation product does not close"
+        if closure != 1:
+            raise RuntimeError("permutation product does not close")
         zsp_rows.append(z)
         prod = z
         for j in range(num_chunks - 1):

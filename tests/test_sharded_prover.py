@@ -47,3 +47,53 @@ def test_sharded_prove_test_config_and_submesh():
     data.verify(proof_sh)
     assert _proof_bytes(proof_sh) == _proof_bytes(proof_np)
     assert _digest(proof_sh) == PIN_MMR_TEST
+
+
+def test_sharded_prove_recursion_outer():
+    """One full 1-recursion step (reference flow
+    mmr_plonky2_verifier_1_recursion.rs:152-221) with the OUTER — in-circuit
+    FRI verifier — proof produced by the SPMD sharded prover over the whole
+    8-device mesh, byte-equal to the single-device prover.  Too heavy for
+    the driver's dryrun budget (the outer build alone is minutes of host
+    time), so it lives in the slow tier (VERDICT r2 #8)."""
+    from plonky2_merkle_trees_tpu.circuits.mmr_recursion import (
+        verify_inner_merkle_proof_circuit,
+        complete_verification_circuit_with_inner_proof)
+
+    cfg = CircuitConfig.test_config()
+    leaves = np.random.default_rng(11).integers(0, field.P, size=7,
+                                                dtype=np.uint64)
+    mmr = MMR.from_leaves(leaves)
+    pr = mmr.get_proof_normal_index(3)
+    root = mmr.bagging_the_peaks()
+
+    inner, leaf_t, proof_ts = verify_inner_merkle_proof_circuit(
+        len(pr.merkle_proof), len(pr.peaks), config=cfg)
+    pw1 = PartialWitness()
+    pw1.set_target(leaf_t, int(leaves[3]))
+    for (ht, bt), (h, left) in zip(proof_ts, pr.merkle_proof):
+        pw1.set_hash_target(ht, h)
+        pw1.set_bool_target(bt, left)
+    pi = inner.prover_only.public_inputs
+    for i, peak in enumerate(pr.peaks):
+        for j in range(4):
+            pw1.set_target(pi[4 * i + j], int(peak[j]))
+    inner_proof = inner.prove(pw1)
+    inner.verify(inner_proof)
+
+    outer, proof_t, vdata_t, peak_ts = \
+        complete_verification_circuit_with_inner_proof(
+            inner.common, len(pr.peaks), config=cfg)
+    pw2 = PartialWitness()
+    pw2.set_proof_with_pis_target(proof_t, inner_proof)
+    pw2.set_verifier_data_target(vdata_t, inner.verifier_only)
+    for t, peak in zip(peak_ts, pr.peaks):
+        pw2.set_hash_target(t, peak)
+    for t, v in zip(outer.prover_only.public_inputs, root):
+        pw2.set_target(t, int(v))
+
+    proof_host = outer.prove(pw2)
+    proof_sh = dev.prove_device_sharded(outer, pw2, make_mesh(8))
+    outer.verify(proof_sh)
+    assert _proof_bytes(proof_sh) == _proof_bytes(proof_host), \
+        "sharded recursion-outer transcript diverged from single-device"
