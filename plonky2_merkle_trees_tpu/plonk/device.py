@@ -68,6 +68,15 @@ P = field.P
 AUTO_DEVICE_MIN_DEGREE_BITS = 10
 
 
+def accelerator_present() -> bool:
+    """True iff device[0] is a real accelerator (never the CPU test mesh)."""
+    import jax
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon", "gpu", "cuda")
+    except Exception:
+        return False
+
+
 def device_mode(common=None) -> bool:
     """Device prover on? PMT_PROVER_DEVICE=1 forces, =0 disables.  In auto
     mode: on iff an accelerator platform is attached AND the circuit is big
@@ -83,11 +92,7 @@ def device_mode(common=None) -> bool:
     bits = getattr(common, "degree_bits", None)
     if bits is not None and bits < AUTO_DEVICE_MIN_DEGREE_BITS:
         return False
-    import jax
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon", "gpu", "cuda")
-    except Exception:
-        return False
+    return accelerator_present()
 
 
 def _jnp():

@@ -11,6 +11,7 @@ recombines them into F(x) itself), then walk the layers — the same shape as
 plonky2's FriProof (SURVEY.md §2.2 "FRI folding rounds").
 """
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import List
@@ -148,7 +149,20 @@ def find_pow_witness(challenger: Challenger, pow_bits: int) -> int:
 
     Expected work is 2^pow_bits tries; the cap at 2^(pow_bits+12) batches
     (~4096x the expectation) turns a misconfigured grind into a diagnostic
-    instead of an unbounded loop."""
+    instead of an unbounded loop.
+
+    When a real accelerator is attached the grind runs as the device batch
+    kernel instead: the standard-config grind is ~65k Poseidon permutes,
+    ~0.9 s at the native host lib's ~95k permutes/s but ~0.1 s on the TPU —
+    it dominates an otherwise-host prove of a tiny circuit (the recursion
+    chain's init level).  Both sides scan nonces in increasing order and
+    return the FIRST hit, so the witness (and transcript) is identical;
+    PMT_POW_DEVICE=0 forces the host loop."""
+    if os.environ.get("PMT_POW_DEVICE", "auto") != "0":
+        from .device import accelerator_present
+        if accelerator_present():
+            from .device import _find_pow_witness_device
+            return _find_pow_witness_device(challenger, pow_bits)
     batch = 1 << 16
     threshold = np.uint64(1 << (64 - pow_bits))
     start = 0

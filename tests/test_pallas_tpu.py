@@ -152,3 +152,30 @@ def test_ratios_pallas_matches_xla_on_device():
         jnp.asarray(routed), jnp.asarray(tags), jnp.asarray(sigmas),
         jnp.asarray(betas), jnp.asarray(gammas)))
     np.testing.assert_array_equal(got, expected)
+
+
+@requires_tpu
+def test_device_pow_grind_matches_host():
+    """fri.find_pow_witness dispatches to the device batch grinder when an
+    accelerator is attached; both sides scan nonces in increasing order and
+    must return the SAME first-hit witness (transcript-identical)."""
+    import os
+    from plonky2_merkle_trees_tpu.plonk import fri
+    from plonky2_merkle_trees_tpu.plonk.challenger import Challenger
+    from plonky2_merkle_trees_tpu import field as f
+
+    rng = np.random.default_rng(7)
+    ch = Challenger()
+    ch.observe_elements([int(v) for v in
+                         rng.integers(0, f.P, size=9, dtype=np.uint64)])
+    dev = fri.find_pow_witness(ch, 12)
+    old = os.environ.get("PMT_POW_DEVICE")
+    os.environ["PMT_POW_DEVICE"] = "0"
+    try:
+        host = fri.find_pow_witness(ch, 12)
+    finally:
+        if old is None:
+            os.environ.pop("PMT_POW_DEVICE", None)
+        else:
+            os.environ["PMT_POW_DEVICE"] = old
+    assert dev == host
