@@ -239,6 +239,13 @@ def _flagship_case():
     if os.environ.get("PMT_BENCH_NO_ARTIFACTS") == "1":
         return _build_flagship_fresh()
     art_dir = _artifact_dir()
+    # Program bundle (jax.export'd stage graphs): skips the ~15-min
+    # fresh-process TRACE of the three flagship programs.  Use committed
+    # exports when present; export on miss so the next fresh process (the
+    # driver's) starts warm.
+    prog_dir = os.path.join(art_dir, "programs")
+    os.environ.setdefault("PMT_PROGRAM_BUNDLE", prog_dir)
+    os.environ.setdefault("PMT_EXPORT_PROGRAMS", prog_dir)
     try:
         return _load_flagship(art_dir)
     except Exception:

@@ -226,6 +226,11 @@ def _stage_batch(rate_bits: int, cap_height: int):
         levels = _merkle_levels_cols(lde, cap_height)
         return coeffs, lde, levels
 
+    # also bundled: load_circuit's preprocessed-oracle recommit runs this
+    # before any prove, so a checkpoint load on a fresh process otherwise
+    # pays its trace + (key-unstable) compile
+    if _bundle_active():
+        return _bundle_wrap("batch", (rate_bits, cap_height), jax.jit(fn))
     return jax.jit(fn)
 
 
@@ -812,6 +817,109 @@ def _gather_wires(V, K, wmp, num_wires: int, n: int):
     return jnp.take(w, wmp["inv_perm"], axis=1)
 
 
+def _bundle_wrap(stage: str, key: tuple, jit_fn):
+    """Serialized-EXECUTABLE dispatch around a jitted stage.
+
+    Tracing + lowering the three flagship stage graphs costs ~15-30 CPU
+    minutes per fresh process on the 1-core host (measured 2026-08-20) —
+    the dominant fresh-process cost, and one the persistent compile cache
+    cannot touch (it only skips the backend compile; worse, its key for
+    the big traced graphs is not even stable across processes).
+    ``jax.experimental.serialize_executable`` pickles the COMPILED
+    executable, so a later process skips trace, lowering and compile and
+    pays only the PJRT executable load (~40 s through the axon tunnel).
+    (A jax.export/StableHLO variant was tried first: the roundtripped
+    module crashed this toolchain's remote-compile helper with SIGABRT on
+    the big stages, while executable deserialization is the same code
+    path the persistent cache already exercises.)
+
+    * ``PMT_PROGRAM_BUNDLE=<dir>``: use ``<dir>/<stage>-<hash>.jaxbin``
+      when present (bench.py points this at the committed artifact dir).
+    * ``PMT_EXPORT_PROGRAMS=<dir>``: on first call, trace + compile
+      normally, then serialize the executable there for future processes.
+
+    Single real-device only: the sharded (mesh) path and the CPU test
+    mesh always trace normally (the wrapper is only installed when
+    ``_bundle_active()``).
+    """
+    import hashlib
+    import pickle
+    h = hashlib.sha256(repr((stage, key)).encode()).hexdigest()[:16]
+    state = {}
+
+    def _shape_key(args, kwargs):
+        # executables bind exact avals, but one stage key can see several
+        # circuit shapes (e.g. _stage_batch across checkpoints): key the
+        # file on the full call signature, mirroring jit's retrace rule
+        import jax
+        sig = jax.tree_util.tree_map(
+            lambda x: (tuple(x.shape), str(x.dtype))
+            if hasattr(x, "shape") else repr(x)[:64],
+            (args, kwargs))
+        return hashlib.sha256(repr(sig).encode()).hexdigest()[:12]
+
+    def call(*args, **kwargs):
+        skey = _shape_key(args, kwargs)
+        fn = state.get(skey)
+        if fn is None:
+            fname = f"{stage}-{h}-{skey}.jaxbin"
+            bundle = os.environ.get("PMT_PROGRAM_BUNDLE")
+            exp_dir = os.environ.get("PMT_EXPORT_PROGRAMS")
+            path = None
+            if bundle and os.path.exists(os.path.join(bundle, fname)):
+                path = os.path.join(bundle, fname)
+            import jax
+            if path is not None and jax.default_backend() in ("tpu", "axon"):
+                # CPU executables embed host-specific AOT feature sets and
+                # do not reliably round-trip across machines; TPU
+                # executables do (the persistent cache relies on it)
+                try:
+                    from jax.experimental import serialize_executable as se
+                    import gzip
+                    with open(path, "rb") as f:
+                        magic = f.read(2)
+                    opener = gzip.open if magic == b"\x1f\x8b" else open
+                    with opener(path, "rb") as f:
+                        blob, in_tree, out_tree = pickle.load(f)
+                    fn = se.deserialize_and_load(blob, in_tree, out_tree)
+                    out = fn(*args, **kwargs)   # first call = PJRT load
+                    jax.block_until_ready(out)  # surface async failures HERE
+                    state[skey] = fn
+                    return out
+                except Exception as e:
+                    # a bundle is an optimisation, never a correctness
+                    # gate: fall back to the normal trace+compile path
+                    print(f"[device] program bundle {fname} unusable "
+                          f"({type(e).__name__}: {e}); tracing normally",
+                          flush=True)
+            fn = jit_fn
+            if exp_dir:
+                try:
+                    from jax.experimental import serialize_executable as se
+                    import gzip
+                    compiled = jit_fn.lower(*args, **kwargs).compile()
+                    os.makedirs(exp_dir, exist_ok=True)
+                    tmp = os.path.join(exp_dir, fname + ".tmp")
+                    with gzip.open(tmp, "wb", compresslevel=1) as f:
+                        pickle.dump(se.serialize(compiled), f)
+                    os.replace(tmp, os.path.join(exp_dir, fname))
+                    fn = compiled
+                except Exception as e:
+                    print(f"[device] exporting {fname} failed "
+                          f"({type(e).__name__}: {e}); continuing unjarred",
+                          flush=True)
+                    fn = jit_fn
+            state[skey] = fn
+        return fn(*args, **kwargs)
+
+    return call
+
+
+def _bundle_active() -> bool:
+    return bool(os.environ.get("PMT_PROGRAM_BUNDLE")
+                or os.environ.get("PMT_EXPORT_PROGRAMS"))
+
+
 @lru_cache(maxsize=None)
 def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
                        degree_bits: int, rate_bits: int, cap_height: int,
@@ -908,6 +1016,11 @@ def _stage_mono_commit(r_wires: int, num_wires: int, nc: int,
         return (ch.state, chal, w_coeffs, w_lde, w_levels, z_coeffs, z_lde,
                 z_levels, w_cap, z_levels[-1], jnp.stack(closure))
 
+    if mesh is None and _bundle_active():
+        return _bundle_wrap(
+            "mono_commit",
+            (r_wires, num_wires, nc, degree_bits, rate_bits, cap_height),
+            jax.jit(fn))
     return jax.jit(fn)
 
 
@@ -1006,6 +1119,12 @@ def _stage_mono_quotient(num_sel: int, r_wires: int, num_wires: int, nc: int,
         return (ch.state, zeta, zeta_next, fri_alpha, q_lde, q_levels, q_cap,
                 evs)
 
+    if mesh is None and _bundle_active():
+        return _bundle_wrap(
+            "mono_quotient",
+            (num_sel, r_wires, num_wires, nc, k_is, degree_bits, rate_bits,
+             cap_height),
+            jax.jit(fn))
     return jax.jit(fn)
 
 
@@ -1152,6 +1271,12 @@ def _stage_mono_fri(nc: int, degree_bits: int, rate_bits: int,
         return (layer_values, fri_levels, final_c0, final_c1, nonce,
                 indices, qflat)
 
+    if mesh is None and _bundle_active():
+        return _bundle_wrap(
+            "mono_fri",
+            (nc, degree_bits, rate_bits, cap_height, arities, final_len,
+             tail),
+            jax.jit(fn))
     return jax.jit(fn)
 
 
@@ -1224,6 +1349,12 @@ def _stage_mono_all(num_sel: int, r_wires: int, num_wires: int, nc: int,
         return (out3, q_lde, q_levels, q_cap, evs, w_lde, w_levels,
                 z_lde, z_levels, w_cap, z_cap, closure)
 
+    if mesh is None and _bundle_active():
+        return _bundle_wrap(
+            "mono_all",
+            (num_sel, r_wires, num_wires, nc, k_is, degree_bits, rate_bits,
+             cap_height, arities, final_len, tail),
+            jax.jit(fn))
     return jax.jit(fn)
 
 
@@ -1411,16 +1542,25 @@ def _mono_dispatch(circuit_data, pw, mesh=None) -> _PendingProof:
     tail = ((fri_cfg.proof_of_work_bits, fri_cfg.num_query_rounds)
             if fused_tail else None)
 
-    # program granularity: "all" = ONE program (default on a single TPU
-    # device: executable load through the tunnel is ~40 s/program, so one
-    # load per shape instead of three), "1" = P1+P2 merged, "0" = the
-    # three-program pipeline (always used on a mesh: the SPMD stages keep
-    # their per-phase sharding constraints).
+    # program granularity: "all" = ONE program (one ~40 s executable load
+    # per shape instead of three through the tunnel), "1" = P1+P2 merged,
+    # "0" = the three-program pipeline (always used on a mesh: the SPMD
+    # stages keep their per-phase sharding constraints).
+    #
+    # auto: "all" only for shapes up to degree 2^13 — measured on this
+    # toolchain (2026-08-20): the merged-all program for the degree-2^15
+    # flagship shape compiles for ~30 CPU-minutes and then WEDGES at
+    # executable load (reproduced twice; likely a serialized-executable
+    # size limit in the tunnel), while the 2^13 flat-MMR shape compiles in
+    # 278 s and runs fine.  Large shapes keep the r3-proven three-program
+    # pipeline (0.465 s warm flagship).
     merge = os.environ.get("PMT_PROVER_MERGE", "auto")
-    if merge in ("auto", "all"):
-        want_all = merge == "all" or (mesh is None
-                                      and jax.default_backend() == "tpu")
-        merge = "all" if (want_all and mesh is None) else "0"
+    if merge == "auto":
+        want_all = (mesh is None and jax.default_backend() == "tpu"
+                    and common.degree_bits <= 13)
+        merge = "all" if want_all else "0"
+    elif merge == "all" and mesh is not None:
+        merge = "0"
 
     if merge == "all":
         p_all = _stage_mono_all(
