@@ -137,21 +137,8 @@ def bench_ntt20():
 # ---------------------------------------------------------------------------
 
 def _source_key() -> str:
-    h = hashlib.sha256()
-    pkg_dir = os.path.dirname(os.path.abspath(pmt.__file__))
-    roots = [pkg_dir, os.path.join(os.path.dirname(pkg_dir), "native")]
-    for root in roots:
-        for dirpath, dirnames, filenames in sorted(os.walk(root)):
-            dirnames.sort()
-            if "__pycache__" in dirpath:
-                continue
-            for fname in sorted(filenames):
-                if fname.endswith((".py", ".cpp", ".cc", ".h")):
-                    path = os.path.join(dirpath, fname)
-                    h.update(fname.encode())
-                    with open(path, "rb") as f:
-                        h.update(f.read())
-    return h.hexdigest()[:16]
+    from plonky2_merkle_trees_tpu.plonk.device import _package_source_key
+    return _package_source_key()
 
 
 def _artifact_dir() -> str:

@@ -32,13 +32,31 @@ jax.config.update("jax_enable_x64", True)
 # committed TPU set.
 
 
+def _backend_name_no_init() -> str:
+    """Name of the platform this process will use, WITHOUT initializing the
+    XLA backend.  ``jax.default_backend()`` must never be called here: it
+    initializes the backend as an import side effect, after which
+    ``jax.distributed.initialize()`` unconditionally raises in every
+    consumer process (this broke the whole multi-host runtime in round 4).
+    The platform pin is instead read from ``jax.config.jax_platforms``
+    (set by the environment's sitecustomize, by tests/conftest.py, or by a
+    multi-host worker before importing this package) with the
+    ``JAX_PLATFORMS`` env var as fallback.
+    """
+    try:
+        plats = jax.config.jax_platforms
+    except Exception:
+        plats = None
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    name = plats.split(",")[0].strip().lower()
+    if name in ("axon", "tpu"):
+        return "tpu"  # the axon tunnel is a TPU PJRT client; one shared cache
+    return name or "unknown"
+
+
 def _default_cache_dir() -> str:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        backend = jax.default_backend()  # forces backend init; cheap vs TPU compiles
-    except Exception:
-        backend = "unknown"
-    return os.path.join(repo_root, ".jax_cache", backend)
+    return os.path.join(repo_root, ".jax_cache", _backend_name_no_init())
 
 
 _cache_dir = os.environ.get("PMT_JAX_CACHE_DIR") or _default_cache_dir()

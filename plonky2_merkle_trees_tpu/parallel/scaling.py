@@ -50,10 +50,47 @@ def _bench(fn, x, iters: int):
     return (time.perf_counter() - start) / iters
 
 
+#: one line of context per stage: which collectives the sharded graph
+#: contains, so the report documents the communication structure and a
+#: reader can sanity-check any efficiency number against it.
+_COLLECTIVES = {
+    "forest_hash": "none per level; one all_gather of per-shard peaks at the root",
+    "batched_lde": "none (embarrassingly parallel over the polynomial axis)",
+    "oracle_commit": "one all-to-all (lde->leaves transpose) + root all_gather",
+    "sharded_prove": "P1 all-to-all per oracle commit, psum-style challenge "
+                     "broadcast, query-gather all_gathers in P3",
+}
+
+_VIRTUAL_NOTE = (
+    "virtual CPU mesh: all devices share ONE physical core, so linear "
+    "speedup is impossible by construction; the honest metric is "
+    "work_conservation = throughput(n)/throughput(1), which is ~1.0 when "
+    "the collectives add no overhead and <1.0 when they do.  Real "
+    "linear-scaling numbers require a real multi-chip pod slice "
+    "(hardware-blocked here; see BASELINE.md north star).")
+
+
+def is_virtual_mesh() -> bool:
+    """True when the 'devices' are XLA host-platform fakes sharing one CPU."""
+    import os
+    return (jax.default_backend() == "cpu"
+            and "xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", ""))
+
+
 def _finalize(rows, metric: str):
     base = rows[0][metric] if rows else 1.0
+    virtual = is_virtual_mesh()
     for r in rows:
-        r["scaling_efficiency"] = r[metric] / (base * r["devices"])
+        r["collectives"] = _COLLECTIVES.get(r["stage"], "")
+        if virtual:
+            # throughput ratio vs 1 device on the SAME silicon: 1.0 means
+            # sharding+collectives cost nothing, not that scaling is linear
+            r["work_conservation"] = r[metric] / base
+            r["efficiency_metric"] = "work_conservation (virtual mesh)"
+        else:
+            r["scaling_efficiency"] = r[metric] / (base * r["devices"])
+            r["efficiency_metric"] = "scaling_efficiency (real devices)"
     return rows
 
 
@@ -71,7 +108,8 @@ def scaling_report(log_leaves_per_device: int = 14, device_counts: List[int] = N
                                    check_vma=False))
         x = jax.device_put(jnp.asarray(leaves), NamedSharding(mesh, P(SHARD_AXIS)))
         secs = _bench(fn, x, iters)
-        rows.append({"stage": "forest_hash", "devices": n_dev, "leaves": n,
+        rows.append({"stage": "forest_hash", "scaling_mode": "weak",
+                     "devices": n_dev, "leaves": n,
                      "hashes_per_sec": (n - n_dev) / secs, "seconds": secs})
     return _finalize(rows, "hashes_per_sec")
 
@@ -94,7 +132,8 @@ def ntt_scaling_report(log_n: int = 14, polys_per_device: int = 16,
         x = jax.device_put(jnp.asarray(coeffs),
                            NamedSharding(mesh, P(SHARD_AXIS, None)))
         secs = _bench(jax.jit(fn), x, iters)
-        rows.append({"stage": "batched_lde", "devices": n_dev, "polys": k,
+        rows.append({"stage": "batched_lde", "scaling_mode": "weak",
+                     "devices": n_dev, "polys": k,
                      "size": 1 << log_n,
                      "transforms_per_sec": k / secs, "seconds": secs})
     return _finalize(rows, "transforms_per_sec")
@@ -103,16 +142,22 @@ def ntt_scaling_report(log_n: int = 14, polys_per_device: int = 16,
 def commit_scaling_report(log_n: int = 12, polys_per_device: int = 16,
                           device_counts: List[int] = None, iters: int = 3,
                           rate_bits: int = 3, cap_height: int = 4) -> List[dict]:
-    """Weak-scaling run of a full oracle commit: batched intt -> coset LDE
-    (poly axis) -> transpose (all-to-all) -> Merkle levels (leaf axis) —
-    the sharded prover's P1 shape."""
+    """STRONG-scaling run of a full oracle commit: batched intt -> coset
+    LDE (poly axis) -> transpose (all-to-all) -> Merkle levels (leaf axis)
+    — the sharded prover's P1 shape.  The problem is fixed at
+    ``polys_per_device * max(devices)`` polynomials and sharded: weak
+    scaling over the poly axis would grow the Merkle LEAF WIDTH with the
+    device count, so per-leaf hash work would not be conserved and the
+    throughput ratio would mix scaling with a workload change (the r4
+    SCALING.json's misleading 0.029 row)."""
     from ..plonk.device import _merkle_levels
     rng = np.random.default_rng(2)
     rows = []
-    for n_dev in device_counts or _device_counts():
+    counts = device_counts or _device_counts()
+    k = polys_per_device * max(counts)
+    for n_dev in counts:
         mesh = make_mesh(n_dev)
         cst, _ = _mk_constrainer(mesh)
-        k = polys_per_device * n_dev
         values = rng.integers(0, field.P, size=(k, 1 << log_n), dtype=np.uint64)
 
         def fn(x, cst=cst):
@@ -124,7 +169,8 @@ def commit_scaling_report(log_n: int = 12, polys_per_device: int = 16,
         x = jax.device_put(jnp.asarray(values),
                            NamedSharding(mesh, P(SHARD_AXIS, None)))
         secs = _bench(jax.jit(fn), x, iters)
-        rows.append({"stage": "oracle_commit", "devices": n_dev, "polys": k,
+        rows.append({"stage": "oracle_commit", "scaling_mode": "strong",
+                     "devices": n_dev, "polys": k,
                      "size": 1 << log_n,
                      "commits_per_sec": 1.0 / secs, "seconds": secs})
     return _finalize(rows, "commits_per_sec")

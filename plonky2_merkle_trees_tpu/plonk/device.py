@@ -817,6 +817,28 @@ def _gather_wires(V, K, wmp, num_wires: int, n: int):
     return jnp.take(w, wmp["inv_perm"], axis=1)
 
 
+@lru_cache(maxsize=1)
+def _package_source_key() -> str:
+    """sha256 over every package + native source file, so serialized
+    executables (and bench artifacts) are invalidated by ANY source edit.
+    Shared by bench.py's artifact-dir key and _bundle_wrap's filenames."""
+    import hashlib
+    h = hashlib.sha256()
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    roots = [pkg_dir, os.path.join(os.path.dirname(pkg_dir), "native")]
+    for root in roots:
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            if "__pycache__" in dirpath:
+                continue
+            for fname in sorted(filenames):
+                if fname.endswith((".py", ".cpp", ".cc", ".h")):
+                    h.update(fname.encode())
+                    with open(os.path.join(dirpath, fname), "rb") as f:
+                        h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _bundle_wrap(stage: str, key: tuple, jit_fn):
     """Serialized-EXECUTABLE dispatch around a jitted stage.
 
@@ -833,10 +855,23 @@ def _bundle_wrap(stage: str, key: tuple, jit_fn):
     the big stages, while executable deserialization is the same code
     path the persistent cache already exercises.)
 
-    * ``PMT_PROGRAM_BUNDLE=<dir>``: use ``<dir>/<stage>-<hash>.jaxbin``
-      when present (bench.py points this at the committed artifact dir).
+    * ``PMT_PROGRAM_BUNDLE=<dir>``: use
+      ``<dir>/<stage>-<hash>-<shapes>-<backend>-<srckey>.jaxbin`` when
+      present (bench.py points this at the committed artifact dir).
     * ``PMT_EXPORT_PROGRAMS=<dir>``: on first call, trace + compile
       normally, then serialize the executable there for future processes.
+
+    The filename embeds (a) the backend name, so a CPU-backend run can
+    never overwrite or load a TPU executable under the same name, and
+    (b) a sha256 of the package sources, so a bundle built from older
+    sources is a clean miss (re-trace) rather than a silent stale load.
+
+    Trust model: bundles are gzip-pickled ``serialize_executable`` blobs.
+    Unpickling executes arbitrary code, so only point
+    ``PMT_PROGRAM_BUNDLE`` at directories you produced yourself (the
+    repo-committed ``.bench_artifacts`` bundles are covered by the same
+    review trust as the repo's code — a tampered clone can already run
+    arbitrary code via the package import itself).
 
     Single real-device only: the sharded (mesh) path and the CPU test
     mesh always trace normally (the wrapper is only installed when
@@ -862,14 +897,15 @@ def _bundle_wrap(stage: str, key: tuple, jit_fn):
         skey = _shape_key(args, kwargs)
         fn = state.get(skey)
         if fn is None:
-            fname = f"{stage}-{h}-{skey}.jaxbin"
+            import jax
+            backend = jax.default_backend()
+            fname = f"{stage}-{h}-{skey}-{backend}-{_package_source_key()}.jaxbin"
             bundle = os.environ.get("PMT_PROGRAM_BUNDLE")
             exp_dir = os.environ.get("PMT_EXPORT_PROGRAMS")
             path = None
             if bundle and os.path.exists(os.path.join(bundle, fname)):
                 path = os.path.join(bundle, fname)
-            import jax
-            if path is not None and jax.default_backend() in ("tpu", "axon"):
+            if path is not None and backend in ("tpu", "axon"):
                 # CPU executables embed host-specific AOT feature sets and
                 # do not reliably round-trip across machines; TPU
                 # executables do (the persistent cache relies on it)
@@ -893,6 +929,11 @@ def _bundle_wrap(stage: str, key: tuple, jit_fn):
                           f"({type(e).__name__}: {e}); tracing normally",
                           flush=True)
             fn = jit_fn
+            # export only executables the load path will accept (CPU
+            # executables embed host-specific features and don't
+            # round-trip; exporting them would only churn the bundle dir)
+            if exp_dir and backend not in ("tpu", "axon"):
+                exp_dir = None
             if exp_dir:
                 try:
                     from jax.experimental import serialize_executable as se

@@ -159,10 +159,17 @@ def find_pow_witness(challenger: Challenger, pow_bits: int) -> int:
     return the FIRST hit, so the witness (and transcript) is identical;
     PMT_POW_DEVICE=0 forces the host loop."""
     if os.environ.get("PMT_POW_DEVICE", "auto") != "0":
-        from .device import accelerator_present
-        if accelerator_present():
-            from .device import _find_pow_witness_device
-            return _find_pow_witness_device(challenger, pow_bits)
+        try:
+            from .device import accelerator_present
+            if accelerator_present():
+                from .device import _find_pow_witness_device
+                return _find_pow_witness_device(challenger, pow_bits)
+        except Exception as e:
+            # the device grind is an optimisation, never a dependency: a
+            # busy/held device or kernel failure falls back to the host
+            # loop below, which finds the identical witness
+            print(f"[fri] device PoW grind unavailable "
+                  f"({type(e).__name__}: {e}); grinding on host", flush=True)
     batch = 1 << 16
     threshold = np.uint64(1 << (64 - pow_bits))
     start = 0

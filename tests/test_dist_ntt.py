@@ -71,10 +71,15 @@ def test_scaling_report_structure():
     from plonky2_merkle_trees_tpu.parallel.scaling import scaling_report
     rows = scaling_report(log_leaves_per_device=8, device_counts=[1, 2], iters=1)
     assert [r["devices"] for r in rows] == [1, 2]
+    # on the virtual CPU mesh the honest metric is work_conservation
+    # (throughput vs 1 device on the same silicon); real devices report
+    # scaling_efficiency instead
     for r in rows:
         assert r["hashes_per_sec"] > 0
-        assert 0 < r["scaling_efficiency"]
-    assert rows[0]["scaling_efficiency"] == 1.0
+        assert 0 < r.get("work_conservation", r.get("scaling_efficiency", 0))
+        assert r["collectives"]
+        assert r["scaling_mode"] == "weak"
+    assert rows[0].get("work_conservation", rows[0].get("scaling_efficiency")) == 1.0
 
 
 def test_stage_scaling_reports_structure():
