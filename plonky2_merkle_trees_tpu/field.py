@@ -171,8 +171,32 @@ def exp_vec(a, e: int):
 
 
 def inv_vec(a):
-    """Vectorised inversion via a^(p-2) — ~100 fully-parallel multiplies,
-    no sequential Montgomery chain (TPU-friendly)."""
+    """Vectorised inversion.
+
+    Traced (jax) arrays: a^(p-2) — ~100 fully-parallel multiplies, no
+    sequential chain (TPU-friendly).  Host numpy arrays: Montgomery batch
+    inversion — 3(n-1) Python-int multiplies + ONE scalar inverse, ~100x
+    the numpy powering chain for the verifier's small batches (the chain
+    cost ~9 ms per 28-element call, the top profile line of
+    tools/profile_verify.py).  Zeros invert to zero in both paths
+    (0^(p-2) == 0 semantics)."""
+    if isinstance(a, np.ndarray):
+        flat = [int(v) for v in a.reshape(-1)]
+        n = len(flat)
+        prefix = [0] * n          # prefix[i] = product of nonzeros < i
+        acc = 1
+        for i, v in enumerate(flat):
+            prefix[i] = acc
+            if v:
+                acc = acc * v % P
+        inv = pow(acc, P - 2, P)
+        out = [0] * n
+        for i in range(n - 1, -1, -1):
+            v = flat[i]
+            if v:
+                out[i] = prefix[i] * inv % P
+                inv = inv * v % P
+        return np.asarray(out, dtype=np.uint64).reshape(a.shape)
     e = P - 2
     result = None
     base = a

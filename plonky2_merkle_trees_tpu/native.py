@@ -68,6 +68,18 @@ def _load():
             i64p, i32p, ctypes.c_int64,                # cons_off, cons_idx, n_roots
             u64p, u8p, u8p, i32p, i32p, i64p]          # V, K, avail, unmet, queue, err
         lib.gp_run_witness.restype = ctypes.c_int
+        lib.gp_ext_tape.argtypes = [i32p, ctypes.c_int64, u64p]
+        lib.gp_hash_rows.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t, u64p]
+        lib.gp_verify_paths.argtypes = [u64p, u64p, i64p,
+                                        ctypes.c_size_t, ctypes.c_size_t]
+        lib.gp_sponge_absorb.argtypes = [u64p, u64p, ctypes.c_size_t]
+        lib.gp_ext_dot.argtypes = [u64p, u64p, u64p,
+                                   ctypes.c_size_t, ctypes.c_size_t, u64p]
+        lib.gp_fold_coset.argtypes = [u64p, u64p, ctypes.c_uint64, u64p,
+                                      ctypes.c_uint64, ctypes.c_size_t,
+                                      ctypes.c_size_t, u64p]
+        lib.gp_ext_horner.argtypes = [u64p, ctypes.c_size_t, u64p,
+                                      ctypes.c_size_t, u64p]
         rc = np.array(all_round_constants(), dtype=np.uint64)
         mds = np.array(mds_matrix(), dtype=np.uint64).reshape(-1)
         lib.gp_init(rc.ctypes.data_as(u64p), mds.ctypes.data_as(u64p))
@@ -170,4 +182,95 @@ def mmr_from_leaves(leaves) -> np.ndarray:
     size = 2 * n - bin(n).count("1")
     out = np.empty((size, 4), dtype=np.uint64)
     lib.gp_mmr_from_leaves(_ptr(leaves), n, _ptr(out))
+    return out
+
+
+def ext_tape(instrs: np.ndarray, regs: np.ndarray) -> None:
+    """Execute a straight-line GF(p^2) op tape IN PLACE on the (n_regs, 2)
+    register file (see gp_ext_tape; recorded by plonk.algebra's
+    RecordingAlgebra).  Caller pre-fills constant and input registers."""
+    lib = _load()
+    assert instrs.dtype == np.int32 and instrs.flags.c_contiguous
+    assert regs.dtype == np.uint64 and regs.flags.c_contiguous
+    lib.gp_ext_tape(instrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    instrs.shape[0], _ptr(regs))
+
+
+def hash_rows(matrix: np.ndarray) -> np.ndarray:
+    """hash_or_noop over each row of an (n, m) matrix -> (n, 4) digests,
+    whole sponge in one native call (vectorised permutes)."""
+    lib = _load()
+    arr = np.ascontiguousarray(matrix, dtype=np.uint64)
+    n, m = arr.shape
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.gp_hash_rows(_ptr(arr), n, m, _ptr(out))
+    return out
+
+
+def verify_paths(current: np.ndarray, sibs: np.ndarray,
+                 indices: np.ndarray):
+    """Batched Merkle-path replay: (n,4) leaf digests x (n,L,4) sibling
+    paths -> (final (n,4) digests, cap indices).  One native call for the
+    whole walk."""
+    lib = _load()
+    cur = np.ascontiguousarray(current, dtype=np.uint64).copy()
+    sib = np.ascontiguousarray(sibs, dtype=np.uint64)
+    idx = np.ascontiguousarray(indices, dtype=np.int64).copy()
+    n = cur.shape[0]
+    n_levels = sib.shape[1] if sib.size else 0
+    if n_levels:
+        lib.gp_verify_paths(_ptr(cur), _ptr(sib),
+                            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                            n, n_levels)
+    return cur, idx
+
+
+def sponge_absorb(state: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Duplex-sponge bulk absorb: overwrite-mode chunks of RATE.  ``xs``
+    length must be a multiple of 8 (caller drains partial buffers)."""
+    lib = _load()
+    st = np.ascontiguousarray(state, dtype=np.uint64).copy()
+    arr = np.ascontiguousarray(xs, dtype=np.uint64)
+    assert arr.shape[0] % 8 == 0
+    lib.gp_sponge_absorb(_ptr(st), _ptr(arr), arr.shape[0])
+    return st
+
+
+def ext_dot(vals: np.ndarray, ys: np.ndarray, apow: np.ndarray) -> np.ndarray:
+    """out[q] = sum_j apow[j] * (vals[q, j] - ys[j]) over GF(p^2)."""
+    lib = _load()
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    ys = np.ascontiguousarray(ys, dtype=np.uint64)
+    apow = np.ascontiguousarray(apow, dtype=np.uint64)
+    q, n = vals.shape
+    out = np.empty((q, 2), dtype=np.uint64)
+    lib.gp_ext_dot(_ptr(vals), _ptr(ys), _ptr(apow), q, n, _ptr(out))
+    return out
+
+
+def fold_coset(vals: np.ndarray, x0: np.ndarray, wm: int, beta,
+               half_inv: int) -> np.ndarray:
+    """Fold each opened (2^a, 2) FRI coset down to one extension value
+    (exact twin of the vectorised numpy walk; see gp_fold_coset)."""
+    lib = _load()
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    x0 = np.ascontiguousarray(x0, dtype=np.uint64)
+    beta_arr = np.ascontiguousarray(beta, dtype=np.uint64)
+    q, size, _ = vals.shape
+    a_bits = size.bit_length() - 1
+    out = np.empty((q, 2), dtype=np.uint64)
+    lib.gp_fold_coset(_ptr(vals), _ptr(x0), ctypes.c_uint64(wm),
+                      _ptr(beta_arr), ctypes.c_uint64(half_inv),
+                      q, a_bits, _ptr(out))
+    return out
+
+
+def ext_horner(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Batched Horner evaluation of an extension polynomial at base points."""
+    lib = _load()
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.uint64)
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    out = np.empty((x.shape[0], 2), dtype=np.uint64)
+    lib.gp_ext_horner(_ptr(coeffs), coeffs.shape[0], _ptr(x), x.shape[0],
+                      _ptr(out))
     return out

@@ -49,6 +49,69 @@ class BatchAlgebra:
         return field.exp7(a)
 
 
+class RecordingAlgebra:
+    """Records the (circuit-static) op sequence of a constraint evaluation
+    as a straight-line tape of extension-field ops over register ids.
+
+    Values are plain ``int`` register indices.  The recorded tape is
+    replayed by the native library's ``gp_ext_tape`` (or the numpy
+    fallback in ``run_ext_tape``) with fresh input values per proof —
+    turning the verifier's ~12k Python ``ExtensionField`` operations into
+    one C call (see plonk/verifier.py).
+    """
+
+    ADD, SUB, MUL, EXP7 = 0, 1, 2, 3
+
+    def __init__(self):
+        self.n_regs = 0
+        self.instrs = []        # (op, dst, a, b) int rows
+        self.const_regs = {}    # value -> register id
+        self.const_inits = []   # (reg, a0, a1)
+        self.input_regs = []    # registers to fill per run, creation order
+
+    def _new_reg(self) -> int:
+        r = self.n_regs
+        self.n_regs += 1
+        return r
+
+    def input(self) -> int:
+        r = self._new_reg()
+        self.input_regs.append(r)
+        return r
+
+    def constant(self, c: int) -> int:
+        c = c % field.P
+        r = self.const_regs.get(c)
+        if r is None:
+            r = self._new_reg()
+            self.const_regs[c] = r
+            self.const_inits.append((r, c, 0))
+        return r
+
+    def _emit(self, op: int, a: int, b: int) -> int:
+        d = self._new_reg()
+        self.instrs.append((op, d, a, b))
+        return d
+
+    def add(self, a, b):
+        return self._emit(self.ADD, a, b)
+
+    def sub(self, a, b):
+        return self._emit(self.SUB, a, b)
+
+    def mul(self, a, b):
+        return self._emit(self.MUL, a, b)
+
+    def mul_const(self, a, c: int):
+        return self._emit(self.MUL, a, self.constant(c))
+
+    def add_const(self, a, c: int):
+        return self._emit(self.ADD, a, self.constant(c))
+
+    def exp7(self, a):
+        return self._emit(self.EXP7, a, a)
+
+
 class ExtAlgebra:
     """Host scalar algebra over GF(p^2)."""
 

@@ -32,15 +32,41 @@ class Challenger:
             self._duplex()
 
     def observe_elements(self, xs) -> None:
+        xs = [int(x) for x in xs]
+        if len(xs) + len(self.input_buffer) >= 2 * RATE:
+            from .. import native
+            if native.available():
+                self._observe_bulk(xs)
+                return
         for x in xs:
             self.observe_element(x)
+
+    def _observe_bulk(self, xs) -> None:
+        """Bulk twin of the observe_element loop: identical sponge states
+        and buffer contents, one native call for all full RATE chunks."""
+        import numpy as np
+        from .. import native
+        total = self.input_buffer + xs
+        n_full = len(total) // RATE * RATE
+        rem = total[n_full:]
+        if n_full:
+            state = native.sponge_absorb(
+                np.asarray(self.sponge_state, dtype=np.uint64),
+                np.asarray(total[:n_full], dtype=np.uint64))
+            self.sponge_state = [int(v) for v in state]
+            # the scalar walk leaves output_buffer = state[:RATE] right
+            # after a duplex, and empty once another element arrives
+            self.output_buffer = [] if rem else list(self.sponge_state[:RATE])
+        elif xs:
+            self.output_buffer = []
+        self.input_buffer = rem
 
     def observe_hash(self, digest) -> None:
         self.observe_elements(int(v) for v in digest)
 
     def observe_cap(self, cap) -> None:
-        for digest in cap:
-            self.observe_hash(digest)
+        # one bulk absorb for the whole cap (identical element stream)
+        self.observe_elements(int(v) for digest in cap for v in digest)
 
     def observe_extension(self, x: ExtensionField) -> None:
         self.observe_elements(x.to_basefield_array())

@@ -23,6 +23,12 @@ def hash_rows(matrix) -> np.ndarray:
     """hash_or_noop over each row of an (n, m) uint64 matrix -> (n, 4)."""
     xp = field._xp(matrix)
     n, m = int(matrix.shape[0]), int(matrix.shape[1])
+    if xp is np and m > 4:
+        from .. import native
+        if native.available():
+            # whole sponge in ONE call (AVX-512 batched permutes) instead
+            # of m/RATE ctypes round trips
+            return native.hash_rows(np.asarray(matrix, dtype=np.uint64))
     if m <= 4:
         out = xp.zeros((n, 4), dtype=xp.uint64)
         if xp is np:
@@ -129,17 +135,26 @@ class MerkleCommitment:
         if {len(p) for p in paths} != {len(paths[0])}:
             raise ValueError("ragged path lengths")
         current = hash_rows(np.asarray(leaves_matrix, dtype=np.uint64))
-        sib = np.asarray([[np.asarray(s, dtype=np.uint64).reshape(4)
-                           for s in p] for p in paths], dtype=np.uint64) \
-            if len(paths[0]) else np.zeros((q, 0, 4), dtype=np.uint64)
+        if len(paths[0]):
+            sib = np.asarray(paths, dtype=np.uint64)
+            if sib.shape != (q, len(paths[0]), 4):
+                raise ValueError("malformed sibling digests")
+        else:
+            sib = np.zeros((q, 0, 4), dtype=np.uint64)
         idx = np.asarray(indices, dtype=np.int64).copy()
-        for level in range(sib.shape[1]):
-            s = sib[:, level]
-            even = (idx % 2 == 0)[:, None]
-            left = np.where(even, current, s)
-            right = np.where(even, s, current)
-            current = poseidon.two_to_one(left, right)
-            idx //= 2
+        from .. import native
+        if native.available():
+            # full path walk in one native call (one vectorised two_to_one
+            # per level, no per-level ctypes/numpy overhead)
+            current, idx = native.verify_paths(current, sib, idx)
+        else:
+            for level in range(sib.shape[1]):
+                s = sib[:, level]
+                even = (idx % 2 == 0)[:, None]
+                left = np.where(even, current, s)
+                right = np.where(even, s, current)
+                current = poseidon.two_to_one(left, right)
+                idx //= 2
         cap_arr = np.asarray(cap, dtype=np.uint64)
         if (idx >= cap_arr.shape[0]).any():
             raise IndexError("path/cap length mismatch")

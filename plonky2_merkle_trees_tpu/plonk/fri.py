@@ -456,8 +456,8 @@ def fri_verify(proof: FriProof, compute_initial_eval, oracle_caps,
         betas.append(challenger.get_extension_challenge())
     if len(proof.commit_caps) != len(arities):
         return False
-    for coeff in proof.final_poly:
-        challenger.observe_extension(coeff)
+    challenger.observe_elements(
+        v for c in proof.final_poly for v in c.to_basefield_array())
     if len(proof.final_poly) > (1 << fri_config.final_poly_max_degree_bits):
         return False
     if not check_pow(challenger, proof.pow_witness, fri_config.proof_of_work_bits):
@@ -512,32 +512,37 @@ def fri_verify(proof: FriProof, compute_initial_eval, oracle_caps,
         # x_t = shift * omega^(row + t*m_next); binary fold pairs
         # (t, t + size/2) and squares the points.
         w = field.primitive_root_of_unity(cur_log)
-        vals = coset                                   # (n_q, size, 2)
-        wm = pow(w, m_next, P)
+        wm = pow(int(w), int(m_next), P)
         x0 = np.asarray([cur_shift * pow(w, int(r), P) % P for r in rows],
                         dtype=np.uint64)
-        xs = np.stack([field.mul(x0, np.uint64(pow(wm, t, P)))
-                       for t in range(1 << a_bits)], axis=1)  # (n_q, size)
         half_inv = np.uint64(field.h_inverse(2))
         cur_b = np.array([beta.a0, beta.a1], dtype=np.uint64)
-        size = 1 << a_bits
-        while size > 1:
-            h = size // 2
-            a_v, b_v = vals[:, :h], vals[:, h:size]
-            e = ext_mul(field.add(a_v, b_v),
-                        np.broadcast_to(
-                            np.array([half_inv, 0], dtype=np.uint64),
-                            a_v.shape))
-            two_x_inv = field.inv_vec(field.mul_small(xs[:, :h], 2))
-            o = ext_mul(ext_mul(ext_sub(a_v, b_v),
-                                np.broadcast_to(cur_b, a_v.shape)),
-                        np.stack([two_x_inv, np.zeros_like(two_x_inv)],
-                                 axis=-1))
-            vals = field.add(e, o)
-            xs = field.mul(xs[:, :h], xs[:, :h])
-            size = h
-            cur_b = ext_mul(cur_b[None, :], cur_b[None, :])[0]
-        values = vals[:, 0]
+        from .. import native as _native
+        if _native.available():
+            # whole binary fold in one native call (identical op order)
+            values = _native.fold_coset(coset, x0, wm, cur_b, int(half_inv))
+        else:
+            vals = coset                               # (n_q, size, 2)
+            xs = np.stack([field.mul(x0, np.uint64(pow(wm, t, P)))
+                           for t in range(1 << a_bits)], axis=1)
+            size = 1 << a_bits
+            while size > 1:
+                h = size // 2
+                a_v, b_v = vals[:, :h], vals[:, h:size]
+                e = ext_mul(field.add(a_v, b_v),
+                            np.broadcast_to(
+                                np.array([half_inv, 0], dtype=np.uint64),
+                                a_v.shape))
+                two_x_inv = field.inv_vec(field.mul_small(xs[:, :h], 2))
+                o = ext_mul(ext_mul(ext_sub(a_v, b_v),
+                                    np.broadcast_to(cur_b, a_v.shape)),
+                            np.stack([two_x_inv, np.zeros_like(two_x_inv)],
+                                     axis=-1))
+                vals = field.add(e, o)
+                xs = field.mul(xs[:, :h], xs[:, :h])
+                size = h
+                cur_b = ext_mul(cur_b[None, :], cur_b[None, :])[0]
+            values = vals[:, 0]
         idx = rows
         for _ in range(a_bits):
             cur_shift = cur_shift * cur_shift % P
@@ -547,11 +552,17 @@ def fri_verify(proof: FriProof, compute_initial_eval, oracle_caps,
     w = field.primitive_root_of_unity(cur_log)
     x = np.asarray([cur_shift * pow(w, int(i), P) % P for i in idx],
                    dtype=np.uint64)
-    x_ext = np.stack([x, np.zeros_like(x)], axis=-1)
-    acc = np.zeros((n_q, 2), dtype=np.uint64)
-    for coeff in reversed(proof.final_poly):
-        acc = field.add(ext_mul(acc, x_ext),
-                        np.broadcast_to(
-                            np.array([coeff.a0, coeff.a1], dtype=np.uint64),
-                            acc.shape))
+    from .. import native as _native
+    if _native.available():
+        coeff_arr = np.asarray([(c.a0, c.a1) for c in proof.final_poly],
+                               dtype=np.uint64).reshape(-1, 2)
+        acc = _native.ext_horner(coeff_arr, x)
+    else:
+        x_ext = np.stack([x, np.zeros_like(x)], axis=-1)
+        acc = np.zeros((n_q, 2), dtype=np.uint64)
+        for coeff in reversed(proof.final_poly):
+            acc = field.add(ext_mul(acc, x_ext),
+                            np.broadcast_to(
+                                np.array([coeff.a0, coeff.a1], dtype=np.uint64),
+                                acc.shape))
     return bool(np.array_equal(acc, values))
