@@ -54,6 +54,7 @@ ANCHOR_NTT20_S = 0.35
 ANCHOR_PROVE_S = 1.0
 ANCHOR_VERIFY_S = 0.01
 ANCHOR_CHAIN4_S = 4.0
+ANCHOR_CHAIN16_S = 16.0
 
 _T0 = time.perf_counter()
 _DEADLINE_S = float(os.environ.get("PMT_BENCH_DEADLINE", "480"))
@@ -276,39 +277,74 @@ def bench_pipelined(outer, pw2, prove_s):
     # device execution of prove i (docs/device_prover.md); the anchor is
     # the serial-prove rate, so vs_baseline here = pipelining speedup
     from plonky2_merkle_trees_tpu.plonk import prove_pipelined
-    batch = 4
+    batch = 8
     start = time.perf_counter()
     proofs = prove_pipelined([(outer, pw2)] * batch)
     piped_s = (time.perf_counter() - start) / batch
     outer.verify(proofs[-1])
     emit("flagship_pipelined_batch_prove_seconds_per_proof",
          round(piped_s, 4), "s", round(prove_s / piped_s, 3))
+    emit("flagship_pipelined_batch8_proofs_per_sec",
+         round(1.0 / piped_s, 3), "proofs/s",
+         round((1.0 / piped_s) / (1.0 / ANCHOR_PROVE_S), 3))
 
 
-def bench_chain4():
+def _chain_case(depth: int, seed: int):
+    """Tree + proof path for a depth-``depth`` uniform chain; the three
+    chain circuits come from the source-keyed artifact checkpoint (the
+    builds cost minutes of host Python the driver's deadline cannot pay)."""
     from plonky2_merkle_trees_tpu import MerkleTree
-    from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
-        verify_merkle_proof_chain_uniform)
-
-    rng = np.random.default_rng(5)
-    leaves = [int(v) for v in rng.integers(0, field.P, size=16,
+    rng = np.random.default_rng(seed)
+    leaves = [int(v) for v in rng.integers(0, field.P, size=1 << depth,
                                            dtype=np.uint64)]
     tree = MerkleTree.build(leaves)
     idx = 5
-    proof_path = tree.get_merkle_proof(idx)
-    in_between = tree.get_in_between_hashes(idx)
+    return tree, idx, tree.get_merkle_proof(idx), \
+        tree.get_in_between_hashes(idx)
+
+
+def _chain_cache_dir():
+    if os.environ.get("PMT_BENCH_NO_ARTIFACTS") == "1":
+        return None
+    return _artifact_dir()
+
+
+def bench_chain4():
+    from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
+        verify_merkle_proof_chain_uniform)
+
+    tree, idx, proof_path, in_between = _chain_case(4, 5)
 
     def run():
         data, proof = verify_merkle_proof_chain_uniform(
-            idx, tree.tree[0][idx], proof_path, in_between)
+            idx, tree.tree[0][idx], proof_path, in_between,
+            cache_dir=_chain_cache_dir())
         data.verify(proof)
 
-    run()  # cold: circuit builds + compiles (all cached after this)
+    run()  # cold: circuit checkpoint load + program loads (cached after)
     start = time.perf_counter()
     run()
     secs = time.perf_counter() - start
     emit("recursion_chain_depth4_seconds", round(secs, 3), "s",
          round(ANCHOR_CHAIN4_S / secs, 2))
+
+
+def bench_chain16():
+    """Depth-16 chain: the whole point of the shape-stable uniform chain
+    is that per-level cost stays flat beyond the 3 compiled shapes —
+    demonstrate it at 4x the depth (VERDICT r4 #4)."""
+    from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
+        verify_merkle_proof_chain_uniform)
+
+    tree, idx, proof_path, in_between = _chain_case(16, 6)
+    start = time.perf_counter()
+    data, proof = verify_merkle_proof_chain_uniform(
+        idx, tree.tree[0][idx], proof_path, in_between,
+        cache_dir=_chain_cache_dir())
+    data.verify(proof)
+    secs = time.perf_counter() - start
+    emit("recursion_chain_depth16_seconds", round(secs, 3), "s",
+         round(ANCHOR_CHAIN16_S / secs, 2))
 
 
 def main():
@@ -329,8 +365,10 @@ def main():
         bench_ntt20()
         return
     prove_line, (outer, pw2, prove_s) = bench_flagship()
-    extras = [bench_ntt20, bench_tree24,
-              lambda: bench_pipelined(outer, pw2, prove_s), bench_chain4]
+    # the two previously deadline-cut headline metrics go FIRST
+    # (VERDICT r4 #3); kernel extras have standalone tiers elsewhere
+    extras = [lambda: bench_pipelined(outer, pw2, prove_s), bench_chain4,
+              bench_chain16, bench_ntt20, bench_tree24]
     for extra in extras:
         if _elapsed() >= _DEADLINE_S:
             break

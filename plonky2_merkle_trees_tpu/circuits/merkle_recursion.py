@@ -230,7 +230,47 @@ def chain_step_circuit(inner_common, config: CircuitConfig = None,
 _UNIFORM_CACHE = {}
 
 
-def uniform_chain_circuits(config: CircuitConfig = None):
+def save_uniform_chain(bundle, cache_dir: str) -> None:
+    """Checkpoint the three chain circuits + their witness-target
+    structures (plain nested dataclasses of ints -> picklable).  Building
+    the bundle costs minutes of host Python (the fixpoint search builds
+    probe circuits); a serving/bench process loads it in seconds."""
+    import os
+    import pickle
+    from ..serialization import save_circuit
+    os.makedirs(cache_dir, exist_ok=True)
+    for name in ("init", "step1", "uniform"):
+        save_circuit(bundle[name][0], os.path.join(cache_dir, f"chain_{name}.npz"))
+    with open(os.path.join(cache_dir, "chain_targets.pkl"), "wb") as f:
+        pickle.dump({"init": bundle["init"][1],
+                     "step1": list(bundle["step1"][1:]),
+                     "uniform": list(bundle["uniform"][1:]),
+                     "degree_bits": bundle["degree_bits"]}, f)
+    with open(os.path.join(cache_dir, "CHAIN_COMPLETE"), "w") as f:
+        f.write("ok\n")  # written LAST: a partial save never looks complete
+
+
+def load_uniform_chain(cache_dir: str) -> dict:
+    """Load a save_uniform_chain checkpoint (raises on absence/corruption).
+    Same trust model as the program bundles: pickle, only load dirs you
+    produced (plonk/device.py _bundle_wrap docstring)."""
+    import os
+    import pickle
+    from ..serialization import load_circuit
+    if not os.path.exists(os.path.join(cache_dir, "CHAIN_COMPLETE")):
+        raise FileNotFoundError(cache_dir)
+    with open(os.path.join(cache_dir, "chain_targets.pkl"), "rb") as f:
+        t = pickle.load(f)
+    out = {"degree_bits": t["degree_bits"]}
+    for name in ("init", "step1", "uniform"):
+        data = load_circuit(os.path.join(cache_dir, f"chain_{name}.npz"))
+        out[name] = tuple([data] + list(t[name]) if name != "init"
+                          else [data, t[name]])
+    return out
+
+
+def uniform_chain_circuits(config: CircuitConfig = None,
+                           cache_dir: str = None):
     """Build (once per config) the three shapes of the shape-stable chain.
 
     Returns a dict with:
@@ -238,11 +278,22 @@ def uniform_chain_circuits(config: CircuitConfig = None):
       step1:   (circuit_data, proof_t, vdata_t, sibling_t, side_t)
       uniform: (circuit_data, proof_t, vdata_t, sibling_t, side_t)
       degree_bits: the fixpoint degree D
+
+    ``cache_dir``: optional checkpoint directory — load the bundle from it
+    when present (skipping the minutes-long builds), save into it after a
+    fresh build otherwise.
     """
     config = config or CircuitConfig.standard_recursion_config()
     cached = _UNIFORM_CACHE.get(config)
     if cached is not None:
         return cached
+    if cache_dir:
+        try:
+            bundle = load_uniform_chain(cache_dir)
+            _UNIFORM_CACHE[config] = bundle
+            return bundle
+        except Exception:
+            pass  # stale/absent checkpoint: build fresh below
 
     init_data, init_targets = initial_proof_circuit(config)
 
@@ -268,17 +319,23 @@ def uniform_chain_circuits(config: CircuitConfig = None):
     bundle = {"init": (init_data, init_targets), "step1": step1,
               "uniform": uniform, "degree_bits": D}
     _UNIFORM_CACHE[config] = bundle
+    if cache_dir:
+        try:
+            save_uniform_chain(bundle, cache_dir)
+        except Exception:
+            pass  # read-only cache dir: the in-process cache still works
     return bundle
 
 
 def verify_merkle_proof_chain_uniform(leaf_index: int, leaf_value,
                                       merkle_proof, in_between_hashes,
-                                      config: CircuitConfig = None):
+                                      config: CircuitConfig = None,
+                                      cache_dir: str = None):
     """Shape-stable twin of verify_merkle_proof_circuit_and_proof: same
     statement chain, but every level >= 2 reuses ONE compiled circuit (and
     level 1 one more), so an N-leaf chain pays 3 circuit shapes instead of
     log2(N).  Returns (final circuit_data, final proof)."""
-    bundle = uniform_chain_circuits(config)
+    bundle = uniform_chain_circuits(config, cache_dir=cache_dir)
     init_data, init_targets = bundle["init"]
 
     pw = PartialWitness()

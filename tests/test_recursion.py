@@ -171,6 +171,25 @@ def test_uniform_chain_8_leaves():
     assert bundle["uniform"][0].common.degree_bits == bundle["degree_bits"]
     assert bundle["step1"][0].common.degree_bits == bundle["degree_bits"]
 
+    # checkpoint roundtrip (bench's warm-start path): a "fresh process"
+    # loading the saved bundle must produce a byte-identical transcript
+    import json
+    import tempfile
+    from plonky2_merkle_trees_tpu.circuits import merkle_recursion as mr
+    from plonky2_merkle_trees_tpu.plonk.proof import proof_to_json
+    with tempfile.TemporaryDirectory() as d:
+        mr.save_uniform_chain(bundle, d)
+        mr._UNIFORM_CACHE.clear()
+        try:
+            c2, p2 = verify_merkle_proof_chain_uniform(
+                idx, tree.tree[0][idx], merkle_proof, in_between,
+                config=CFG, cache_dir=d)
+            c2.verify(p2)
+            assert json.dumps(proof_to_json(p2)) == \
+                json.dumps(proof_to_json(proof))
+        finally:
+            mr._UNIFORM_CACHE.clear()  # don't leak the loaded bundle
+
 
 def test_uniform_chain_foreign_circuit_rejected():
     """A VALID proof of a different degree-D 8-PI circuit, smuggled into a

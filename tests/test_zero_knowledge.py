@@ -128,3 +128,29 @@ def test_zk_circuit_checkpoint_roundtrip(tmp_path):
     proof = loaded.prove(pw)
     loaded.verify(proof)
     data.verify(proof)
+
+
+@pytest.mark.slow
+def test_zk_standard_config_prove_verify():
+    """zk at the FULL standard recursion config (28 query rounds, 16 PoW
+    bits) — the config the flagship runs at.  Also pins the loud host-
+    fallback warning when a device-prover entry point reroutes zk proves
+    (VERDICT r4 weak #5)."""
+    import warnings
+    from plonky2_merkle_trees_tpu.plonk import device as dev
+
+    cfg = CircuitConfig.standard_recursion_config()
+    cfg = type(cfg)(**{**cfg.__dict__, "zero_knowledge": True})
+    data, pw = _mmr_case(cfg)
+    dev._zk_warned = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        proof = dev.prove_device(data, pw)
+    assert any("HOST prover" in str(x.message) for x in w), \
+        "zk host fallback must warn"
+    data.verify(proof)
+    assert data.common.blinding_rows
+    # a second prove of the same witness must differ (hiding) and verify
+    proof2 = data.prove(pw)
+    data.verify(proof2)
+    assert _proof_bytes(proof) != _proof_bytes(proof2)

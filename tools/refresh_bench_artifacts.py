@@ -36,12 +36,22 @@ import bench  # noqa: E402
 
 def main():
     art_dir = bench._artifact_dir()
-    if os.path.exists(os.path.join(art_dir, "COMPLETE")):
-        print(f"artifacts already current: {art_dir}")
-        return
-    print(f"building flagship artifacts -> {art_dir}")
-    outer, pw2 = bench._build_flagship_fresh()
-    bench._save_flagship(outer, pw2, art_dir)
+    if not os.path.exists(os.path.join(art_dir, "COMPLETE")):
+        print(f"building flagship artifacts -> {art_dir}")
+        outer, pw2 = bench._build_flagship_fresh()
+        bench._save_flagship(outer, pw2, art_dir)
+    else:
+        print(f"flagship artifacts already current: {art_dir}")
+    if not os.path.exists(os.path.join(art_dir, "CHAIN_COMPLETE")):
+        # the uniform-chain circuit bundle (bench_chain4/bench_chain16):
+        # three circuit builds incl. the fixpoint probe, minutes of host
+        # Python the driver's bench deadline cannot pay
+        print(f"building uniform-chain artifacts -> {art_dir}")
+        from plonky2_merkle_trees_tpu.circuits.merkle_recursion import (
+            uniform_chain_circuits)
+        uniform_chain_circuits(cache_dir=art_dir)
+    else:
+        print(f"chain artifacts already current: {art_dir}")
     # prune stale source keys so the committed dir holds exactly one entry
     base = os.path.dirname(art_dir)
     for name in os.listdir(base):
