@@ -374,17 +374,18 @@ def _virtual_cap(builder: CircuitBuilder, cap_height: int) -> List[HashOutTarget
 def add_virtual_proof_with_pis(builder: CircuitBuilder, common
                                ) -> ProofWithPublicInputsTarget:
     config = common.config
-    if config.zero_knowledge:
-        # zk proofs carry salted oracle leaves; the in-circuit verifier's
-        # fixed leaf shapes do not model the salt columns (neither does the
-        # reference, which never recursively verifies a zk proof)
-        raise NotImplementedError(
-            "in-circuit verification of zero-knowledge proofs is not "
-            "supported; prove the inner circuit with zero_knowledge=False")
     fri_cfg = config.fri_config
     nc = config.num_challenges
     num_chunks = config.num_routed_wires // CHUNK
     sizes = _oracle_sizes(common)
+    # zk proofs append 4 salt elements to every WITNESS-oracle leaf (never
+    # the public preprocessed oracle); the salt is hashed into the Merkle
+    # leaf but excluded from recombination (mirrors the host verifier's
+    # real_sizes/oracle_sizes split, plonk/verifier.py).  The reference
+    # never recursively verifies a zk proof — this covers the plonky2
+    # 0.1.3 dependency surface beyond it.
+    zk_salt = 4 if config.zero_knowledge else 0
+    leaf_sizes = [sizes[0]] + [sz + zk_salt for sz in sizes[1:]]
     shapes, final_len, _ = _fri_layer_shapes(common)
     cap_h = min(fri_cfg.cap_height, common.lde_bits)
     oracle_path_len = common.lde_bits - cap_h
@@ -403,7 +404,7 @@ def add_virtual_proof_with_pis(builder: CircuitBuilder, common
     query_rounds = []
     for _ in range(fri_cfg.num_query_rounds):
         initial_leaves = [[builder.add_virtual_target() for _ in range(s)]
-                          for s in sizes]
+                          for s in leaf_sizes]
         initial_paths = [[builder.add_virtual_hash()
                           for _ in range(oracle_path_len)] for _ in sizes]
         steps = [FriQueryStepTarget(
@@ -590,7 +591,12 @@ def verify_proof_circuit(builder: CircuitBuilder,
         x = builder.mul_const(shift, exp_from_bits(builder, lde_omega, index_bits))
         x_ext = alg.from_base(x)
         acc1 = alg.constant(0)
-        flat_leaf = [t for leaf in qr.initial_leaves for t in leaf]
+        # recombine only the REAL polynomial values: zk leaves carry 4
+        # trailing salt targets per witness oracle (hashed above, not part
+        # of any polynomial)
+        real_sizes = _oracle_sizes(common)
+        flat_leaf = [t for leaf, rs in zip(qr.initial_leaves, real_sizes)
+                     for t in leaf[:rs]]
         for v, y in zip(reversed(flat_leaf), reversed(ys1)):
             acc1 = alg.add(alg.mul(acc1, fri_alpha),
                            alg.sub(alg.from_base(v), y))
